@@ -1,0 +1,67 @@
+"""Equivariant activations: gate, S2 point-sample, separable S2.
+
+Re-designs of reference models/EquiformerV2Functions/activation.py:107-192.
+The S2 activation is the to-grid -> SiLU -> from-grid sandwich: two einsums
+around a pointwise nonlinearity — exactly the fusion pattern XLA handles well
+(both einsums are matmuls against small constant tables from ops/s2grid.py).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.irreps import IrrepsLayout
+from ..ops.s2grid import S2Grid
+
+__all__ = ["gate_activation", "s2_activation", "separable_s2_activation"]
+
+
+def _gate_expand_index(lmax: int, mmax: int) -> np.ndarray:
+    """Map each l>0 coefficient of the (lmax, mmax) reduced layout to l-1."""
+    parts = [
+        np.full(min(2 * l + 1, 2 * mmax + 1), l - 1) for l in range(1, lmax + 1)
+    ]
+    return np.concatenate(parts)
+
+
+def gate_activation(gating_scalars, x, lmax: int, mmax: int, num_channels: int):
+    """Sigmoid gates per degree on l>0 components; SiLU on l=0.
+
+    Reference activation.py:107-150.
+
+    Args:
+        gating_scalars: [N, lmax * C]
+        x: [N, K_red, C]
+    """
+    g = jax.nn.sigmoid(gating_scalars)
+    g = g.reshape(g.shape[0], lmax, num_channels)
+    g = g[:, _gate_expand_index(lmax, mmax), :]
+    scalars = jax.nn.silu(x[:, :1, :])
+    vectors = x[:, 1:, :] * g
+    return jnp.concatenate([scalars, vectors], axis=1)
+
+
+def s2_activation(x, grid: S2Grid):
+    """Point-sample S2 activation: to-grid, SiLU, from-grid.
+
+    Reference activation.py:153-170.  x: [N, K_red, C].
+    """
+    g = grid.to_grid(x)
+    g = jax.nn.silu(g)
+    return grid.from_grid(g)
+
+
+def separable_s2_activation(gating_scalars, x, grid: S2Grid):
+    """SiLU on separate l=0 scalars; S2 activation on the full tensor, keeping
+    only its l>0 part.  Reference activation.py:173-192.
+
+    Args:
+        gating_scalars: [N, C]
+        x: [N, K_red, C]
+    """
+    scalars = jax.nn.silu(gating_scalars)[:, None, :]
+    tensors = s2_activation(x, grid)
+    return jnp.concatenate([scalars, tensors[:, 1:, :]], axis=1)

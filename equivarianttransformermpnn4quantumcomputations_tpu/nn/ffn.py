@@ -1,0 +1,77 @@
+"""Equivariant feed-forward network.
+
+Re-design of reference ``FeedForwardNetwork``
+(models/EquiformerV2Functions/transformer_block.py:339-453): SO3 linear ->
+{separable-S2 | gate | grid-MLP} activation -> SO3 linear, operating on full
+(mmax = lmax) features.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.s2grid import S2Grid
+from .activations import gate_activation, s2_activation, separable_s2_activation
+from .layers import Dense
+from .so3_layers import SO3Linear
+
+__all__ = ["FeedForward"]
+
+
+class FeedForward(nn.Module):
+    sphere_channels: int
+    hidden_channels: int
+    output_channels: int
+    lmax: int
+    grid_full: S2Grid  # grid at (lmax, lmax)
+    use_gate_act: bool = False
+    use_grid_mlp: bool = False
+    use_sep_s2_act: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        """x: [N, K_full, C] -> [N, K_full, output_channels]."""
+        gating = None
+        if self.use_grid_mlp:
+            if self.use_sep_s2_act:
+                gating = jax.nn.silu(
+                    Dense(self.hidden_channels, name="scalar_mlp")(x[:, 0, :])
+                )
+        else:
+            if self.use_gate_act:
+                gating = Dense(
+                    self.lmax * self.hidden_channels, name="gating_linear"
+                )(x[:, 0, :])
+            elif self.use_sep_s2_act:
+                gating = Dense(self.hidden_channels, name="gating_linear")(
+                    x[:, 0, :]
+                )
+
+        h = SO3Linear(
+            self.sphere_channels, self.hidden_channels, self.lmax, name="so3_linear_1"
+        )(x)
+
+        if self.use_grid_mlp:
+            g = self.grid_full.to_grid(h)
+            for i in range(3):
+                g = Dense(self.hidden_channels, use_bias=False, name=f"grid_mlp_{i}")(g)
+                if i < 2:
+                    g = jax.nn.silu(g)
+            h = self.grid_full.from_grid(g)
+            if self.use_sep_s2_act:
+                h = jnp.concatenate([gating[:, None, :], h[:, 1:, :]], axis=1)
+        else:
+            if self.use_gate_act:
+                h = gate_activation(
+                    gating, h, self.lmax, self.lmax, self.hidden_channels
+                )
+            elif self.use_sep_s2_act:
+                h = separable_s2_activation(gating, h, self.grid_full)
+            else:
+                h = s2_activation(h, self.grid_full)
+
+        return SO3Linear(
+            self.hidden_channels, self.output_channels, self.lmax, name="so3_linear_2"
+        )(h)

@@ -1,0 +1,145 @@
+"""Degree-wise SO(3) linear layers and the eSCN SO(2) convolution.
+
+TPU-native re-designs of the reference:
+* ``SO3_LinearV2`` (reference so3.py:698-739): one [lmax+1, C_out, C_in]
+  weight, expanded to the coefficient axis by a static gather and applied with
+  a single einsum — maps directly onto an MXU matmul with the (K*N) batch dim.
+* ``SO2_Convolution`` / ``SO2_m_Convolution`` (reference so2_ops.py:11-204):
+  per-order complex-pair linear maps.  Here the m-primary reshuffle is a
+  static gather (not the reference's dense ``to_m`` matmul, so3.py:322-339)
+  and each order m is one batched matmul pair — a short static Python loop
+  (mmax <= 6) that XLA fuses; no dynamic shapes.
+
+The complex structure: in the edge-aligned frame, a residual rotation by theta
+about the edge acts on the coefficient pair (c_{+m}, c_{-m}) as multiplication
+of c_{+m} + i c_{-m} by e^{i m theta}; a complex-linear map in that pair
+commutes with the rotation, which is exactly what these layers implement
+(reference so2_ops.py:53-61).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.irreps import IrrepsLayout
+from .layers import RadialMLP, fan_in_normal
+
+__all__ = ["SO3Linear", "SO2Conv"]
+
+
+class SO3Linear(nn.Module):
+    """Per-degree linear map over [N, K, C] features; bias only on l = 0."""
+
+    in_features: int
+    out_features: int
+    lmax: int
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param(
+            "weight",
+            fan_in_normal(),
+            (self.lmax + 1, self.in_features, self.out_features),
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.out_features,))
+        expand = np.concatenate(
+            [np.full(2 * l + 1, l) for l in range(self.lmax + 1)]
+        )
+        wk = w[expand]  # [K, C_in, C_out]
+        out = jnp.einsum("nki,kio->nko", x, wk)
+        return out.at[:, 0, :].add(b)
+
+
+class SO2Conv(nn.Module):
+    """SO(2) convolution over all orders m in the edge-aligned frame.
+
+    Args mirror the reference SO2_Convolution (so2_ops.py:64-134):
+        layout: (lmax, mmax) coefficient layout of the input/output.
+        in_channels / out_channels: per-coefficient channel widths.
+        extra_m0: extra invariant output channels carved out of the m=0 block
+            (attention alpha features and gate scalars).
+        rad_channels: if given, an invariant edge MLP producing per-edge,
+            per-(l,m)-input feature-wise weights (``internal_weights=False``
+            path); None means no radial modulation.
+
+    Call: (x [E, K_red, C_in], edge_scalars [E, D] | None)
+        -> (out [E, K_red, C_out], extra [E, extra_m0] | None)
+    """
+
+    layout: IrrepsLayout
+    in_channels: int
+    out_channels: int
+    extra_m0: int = 0
+    rad_channels: Optional[Sequence[int]] = None
+
+    @nn.compact
+    def __call__(self, x, edge_scalars=None):
+        lay = self.layout
+        E = x.shape[0]
+        Cin, Cout = self.in_channels, self.out_channels
+
+        xm = x[:, lay.to_m_perm, :]  # m-primary
+
+        # radial modulation: one weight per distinct (l, m>=0) input coeff
+        rad = None
+        if self.rad_channels is not None:
+            n_rad = int(lay.m_size.sum()) * Cin
+            rad = RadialMLP(tuple(self.rad_channels) + (n_rad,))(edge_scalars)
+
+        out_blocks = []
+        extra = None
+        offset = 0
+        offset_rad = 0
+
+        # m = 0 block: plain dense over (degrees x channels)
+        L0 = int(lay.m_size[0])
+        x0 = xm[:, :L0, :].reshape(E, L0 * Cin)
+        if rad is not None:
+            x0 = x0 * rad[:, : L0 * Cin]
+            offset_rad = L0 * Cin
+        w0 = self.param(
+            "w_m0", fan_in_normal(), (L0 * Cin, self.extra_m0 + L0 * Cout)
+        )
+        b0 = self.param(
+            "b_m0", nn.initializers.zeros, (self.extra_m0 + L0 * Cout,)
+        )
+        y0 = x0 @ w0 + b0
+        if self.extra_m0:
+            extra = y0[:, : self.extra_m0]
+            y0 = y0[:, self.extra_m0 :]
+        out_blocks.append(y0.reshape(E, L0, Cout))
+        offset = L0
+
+        # m > 0: complex-pair linear maps
+        for m in range(1, lay.mmax + 1):
+            Lm = int(lay.m_size[m])
+            xmm = xm[:, offset : offset + 2 * Lm, :]
+            xr = xmm[:, :Lm, :].reshape(E, Lm * Cin)
+            xi = xmm[:, Lm:, :].reshape(E, Lm * Cin)
+            if rad is not None:
+                rm = rad[:, offset_rad : offset_rad + Lm * Cin]
+                xr = xr * rm
+                xi = xi * rm
+                offset_rad += Lm * Cin
+            wr = self.param(
+                f"w_m{m}_r", fan_in_normal(), (Lm * Cin, Lm * Cout)
+            )
+            wi = self.param(
+                f"w_m{m}_i", fan_in_normal(), (Lm * Cin, Lm * Cout)
+            )
+            yr = xr @ wr - xi @ wi
+            yi = xr @ wi + xi @ wr
+            out_blocks.append(
+                jnp.concatenate(
+                    [yr.reshape(E, Lm, Cout), yi.reshape(E, Lm, Cout)], axis=1
+                )
+            )
+            offset += 2 * Lm
+
+        out_m = jnp.concatenate(out_blocks, axis=1)
+        out = out_m[:, lay.from_m_perm, :]
+        return out, extra

@@ -1,0 +1,222 @@
+"""Per-edge rotations: frame construction, Euler angles, runtime Wigner-D.
+
+TPU-native counterpart of the reference ``SO3_Rotation`` /
+``RotationToWignerDMatrix`` / ``init_edge_rot_mat`` machinery
+(reference models/EquiformerV2Functions/so3.py:482-545, edge_rot_mat.py:13-80,
+models/equiformerv2_MatPES_GATAV2.py:54-69).
+
+Differences by design:
+* We align each edge with the **z axis** (the natural azimuthal axis of the
+  real-SH basis in ops/sph.py), not y — the SO(2) structure is identical.
+* The frame is the *deterministic* cardinal-axis construction the GATA models
+  use (reference equiformerv2_MatPES_GATAV2.py:54-69), not the random-vector
+  baseline (reference edge_rot_mat.py:28-58) — deterministic is jit-friendly
+  and reproducible.
+* Wigner-D is built as ``Xz(a) @ J @ Xz(b) @ J @ Xz(g)`` with J matrices we
+  generate ourselves (ops/wigner_np.py) instead of loading e3nn's missing
+  ``Jd.pt`` (reference wigner.py:9).
+* Wigner blocks are kept **per degree** (list of [E, 2l+1, 2l+1]) rather than
+  as one dense [E, K, K] block-diagonal — rotating per degree skips the
+  guaranteed-zero off-blocks (4x fewer FLOPs at lmax=4) and maps onto batched
+  matmuls XLA tiles well.
+
+All geometry here is wrapped in ``stop_gradient`` — matching the reference's
+``.detach()`` of frames and Wigner matrices: gradients flow through distances
+and through the re-computed displacement vectors, never through the frame.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .irreps import IrrepsLayout
+from .wigner_np import J_matrices
+
+__all__ = [
+    "edge_frame",
+    "frame_to_zyz_angles",
+    "WignerBlocks",
+    "compute_wigner",
+    "rotate_to_edge",
+    "rotate_from_edge",
+]
+
+
+def edge_frame(edge_vec):
+    """Deterministic orthonormal frame per edge: rows (a, b, v_hat).
+
+    ``R @ v_hat = z_hat``.  The in-plane axes are built from the cardinal axis
+    least aligned with the edge (reference equiformerv2_MatPES_GATAV2.py:54-69),
+    so the frame is a deterministic, locally-smooth function of the direction.
+
+    Args:
+        edge_vec: [E, 3] displacement vectors (need not be normalized).
+    Returns:
+        [E, 3, 3] rotation matrices (det +1), gradient-stopped.
+    """
+    v = jax.lax.stop_gradient(edge_vec)
+    dist = jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True))
+    vhat = v / jnp.maximum(dist, 1e-8)
+
+    best = jnp.argmin(jnp.abs(vhat), axis=-1)
+    ref = jnp.eye(3, dtype=vhat.dtype)[best]
+
+    b = jnp.cross(vhat, ref)
+    b = b / jnp.maximum(
+        jnp.sqrt(jnp.sum(b * b, axis=-1, keepdims=True)), 1e-8
+    )
+    a = jnp.cross(b, vhat)
+    return jnp.stack([a, b, vhat], axis=-2)
+
+
+def frame_to_zyz_angles(rot):
+    """ZYZ Euler angles of ``R`` with ``R = Rz(alpha) Ry(beta) Rz(gamma)``.
+
+    Robust at the poles: (phi, theta) come from the image of z under
+    ``R^T`` (the third row of R read as a direction), and gamma from the exact
+    residual z-rotation — no atan2(0, 0) degeneracies for edges along z.
+
+    Returns (alpha, beta, gamma), each [E].
+    """
+    rot = jax.lax.stop_gradient(rot)
+    # R^{-1} = R^T maps z_hat to v_hat = third row of R.
+    v = rot[..., 2, :]
+    # arctan2 form is well conditioned at the poles (arccos is not, in fp32)
+    theta = jnp.arctan2(
+        jnp.sqrt(v[..., 0] ** 2 + v[..., 1] ** 2), v[..., 2]
+    )
+    phi = jnp.arctan2(v[..., 1], v[..., 0])
+
+    # Residual: Rz(g0) = Ry(-theta) Rz(-phi) R^T  (exactly a z-rotation).
+    ct, st = jnp.cos(theta), jnp.sin(theta)
+    cp, sp = jnp.cos(phi), jnp.sin(phi)
+    zeros = jnp.zeros_like(ct)
+    ones = jnp.ones_like(ct)
+    ry = jnp.stack(
+        [
+            jnp.stack([ct, zeros, -st], -1),
+            jnp.stack([zeros, ones, zeros], -1),
+            jnp.stack([st, zeros, ct], -1),
+        ],
+        -2,
+    )
+    rz = jnp.stack(
+        [
+            jnp.stack([cp, sp, zeros], -1),
+            jnp.stack([-sp, cp, zeros], -1),
+            jnp.stack([zeros, zeros, ones], -1),
+        ],
+        -2,
+    )
+    # HIGHEST: full-f32 matmuls — TPU default (bf16 inputs) costs ~4e-4 angle
+    # error, which leaks into every Wigner matrix.  These are 3x3s; free.
+    hp = jax.lax.Precision.HIGHEST
+    m = jnp.einsum(
+        "...ij,...jk,...lk->...il", ry, rz, rot, precision=hp
+    )
+    g0 = jnp.arctan2(m[..., 1, 0], m[..., 0, 0])
+
+    # R^T = Rz(phi) Ry(theta) Rz(g0)  =>  R = Rz(-g0) Ry(-theta) Rz(-phi)
+    return -g0, -theta, -phi
+
+
+def _z_rot(l: int, angle):
+    """Real-basis Wigner-D of Rz(angle) for degree l: [..., 2l+1, 2l+1]."""
+    m = jnp.arange(-l, l + 1, dtype=angle.dtype)
+    c = jnp.cos(m * angle[..., None])
+    s = jnp.sin(m * angle[..., None])
+    eye = jnp.eye(2 * l + 1, dtype=angle.dtype)
+    anti = eye[::-1]  # 1 at [i, 2l - i]
+    # center cell (m=0) gets cos(0) + (-sin(0)) = 1: correct.
+    return c[..., :, None] * eye + (-s)[..., :, None] * anti
+
+
+class WignerBlocks:
+    """Per-degree Wigner-D blocks for a batch of edges (gradient-stopped)."""
+
+    def __init__(self, blocks):
+        self.blocks = blocks  # list over l of [E, 2l+1, 2l+1]
+
+    @property
+    def lmax(self) -> int:
+        return len(self.blocks) - 1
+
+
+def compute_wigner(lmax: int, edge_vec, dtype=jnp.float32) -> WignerBlocks:
+    """Wigner-D blocks of the edge-alignment rotation for each edge."""
+    rot = edge_frame(edge_vec.astype(jnp.float32))
+    alpha, beta, gamma = frame_to_zyz_angles(rot)
+    Js = J_matrices(lmax)
+    blocks = []
+    for l in range(lmax + 1):
+        if l == 0:
+            blocks.append(
+                jnp.ones(alpha.shape + (1, 1), dtype=dtype)
+            )
+            continue
+        J = jnp.asarray(Js[l], dtype=jnp.float32)
+        xa = _z_rot(l, alpha)
+        xb = _z_rot(l, beta)
+        xc = _z_rot(l, gamma)
+        hp = jax.lax.Precision.HIGHEST
+        Jxc = jnp.einsum("ij,ejk->eik", J, xc, precision=hp)
+        xbJxc = jnp.einsum("eij,ejk->eik", xb, Jxc, precision=hp)
+        JxbJxc = jnp.einsum("ij,ejk->eik", J, xbJxc, precision=hp)
+        D = jnp.einsum("eij,ejk->eik", xa, JxbJxc, precision=hp)
+        blocks.append(jax.lax.stop_gradient(D).astype(dtype))
+    return WignerBlocks(blocks)
+
+
+def _m_keep_rows(l: int, mmax: int) -> np.ndarray:
+    """Row indices within a degree-l block for |m| <= mmax."""
+    mm = min(l, mmax)
+    return np.arange(l - mm, l + mm + 1)
+
+
+def rotate_to_edge(wigner: WignerBlocks, x, layout: IrrepsLayout):
+    """Rotate node features into each edge frame, truncating to |m| <= mmax.
+
+    Args:
+        wigner: per-edge Wigner blocks (lmax degrees).
+        x: [E, (lmax+1)**2, C] features in the global frame (l-primary).
+        layout: target layout with the mmax truncation.
+    Returns:
+        [E, K_red, C] features in the edge frame (l-primary reduced layout).
+    """
+    out = []
+    for l in range(layout.lmax + 1):
+        w = wigner.blocks[l]
+        xl = x[:, l * l : l * l + 2 * l + 1, :]
+        if layout.mmax < l:
+            w = w[:, _m_keep_rows(l, layout.mmax), :]
+        out.append(jnp.einsum("eij,ejc->eic", w, xl))
+    return jnp.concatenate(out, axis=1)
+
+
+def rotate_from_edge(wigner: WignerBlocks, x, layout: IrrepsLayout):
+    """Inverse rotation back to the global frame, zero-padding the truncated m.
+
+    Applies the sqrt((2l+1)/(2*mmax+1)) rescale on truncated degrees
+    (reference so3.py:175-195, 516-521).
+
+    Args:
+        x: [E, K_red, C] edge-frame features.
+    Returns:
+        [E, (lmax+1)**2, C] global-frame features.
+    """
+    out = []
+    offset = 0
+    for l in range(layout.lmax + 1):
+        mm = min(l, layout.mmax)
+        width = 2 * mm + 1
+        xl = x[:, offset : offset + width, :]
+        offset += width
+        w = wigner.blocks[l]
+        winv = jnp.swapaxes(w, -1, -2)
+        if layout.mmax < l:
+            winv = winv[:, :, _m_keep_rows(l, layout.mmax)]
+            winv = winv * float(layout.rescale[l * l])
+        out.append(jnp.einsum("eij,ejc->eic", winv, xl))
+    return jnp.concatenate(out, axis=1)

@@ -1,0 +1,66 @@
+"""Masked segment reductions for padded, static-shape graphs.
+
+TPU-native replacement for ``index_add_`` scatter-sums
+(reference so3.py:304-318) and ``torch_geometric.utils.softmax``
+(reference transformer_block.py:315).  Edges and nodes are padded to static
+sizes; an explicit boolean mask marks real entries.  All-padded segments
+produce exact zeros (the reference handles the analogous all-pad rows with
+``nan_to_num``; here the masked formulation never creates NaNs).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["segment_sum", "segment_mean", "segment_softmax"]
+
+
+def segment_sum(values, segment_ids, num_segments: int, mask=None):
+    """Sum ``values`` ([E, ...]) into ``num_segments`` buckets.
+
+    Padded entries (mask False) contribute zero.
+    """
+    if mask is not None:
+        values = values * mask.astype(values.dtype).reshape(
+            mask.shape + (1,) * (values.ndim - 1)
+        )
+    return jax.ops.segment_sum(
+        values, segment_ids, num_segments=num_segments
+    )
+
+
+def segment_mean(values, segment_ids, num_segments: int, mask=None):
+    s = segment_sum(values, segment_ids, num_segments, mask)
+    ones = jnp.ones(values.shape[0], dtype=values.dtype)
+    cnt = segment_sum(ones, segment_ids, num_segments, mask)
+    cnt = cnt.reshape(cnt.shape + (1,) * (values.ndim - 1))
+    return s / jnp.maximum(cnt, 1.0)
+
+
+def segment_softmax(logits, segment_ids, num_segments: int, mask=None):
+    """Numerically-stable softmax over segments of the leading axis.
+
+    Args:
+        logits: [E, ...] attention logits (softmax along axis 0 within segments).
+        segment_ids: [E] target-node index per edge.
+        mask: [E] bool, False for padded edges (their weight becomes 0).
+    Returns:
+        [E, ...] normalized weights summing to 1 within each real segment.
+    """
+    neg = jnp.asarray(-1e30, dtype=logits.dtype)
+    if mask is not None:
+        m = mask.reshape(mask.shape + (1,) * (logits.ndim - 1))
+        logits = jnp.where(m, logits, neg)
+    seg_max = jax.ops.segment_max(
+        logits, segment_ids, num_segments=num_segments
+    )
+    # empty segments give -inf max; clamp so the subtraction stays finite
+    seg_max = jnp.maximum(seg_max, neg)
+    seg_max = jax.lax.stop_gradient(seg_max)
+    shifted = logits - seg_max[segment_ids]
+    ex = jnp.exp(shifted)
+    if mask is not None:
+        ex = ex * mask.reshape(mask.shape + (1,) * (ex.ndim - 1)).astype(ex.dtype)
+    denom = jax.ops.segment_sum(ex, segment_ids, num_segments=num_segments)
+    return ex / jnp.maximum(denom[segment_ids], 1e-16)
