@@ -1,0 +1,256 @@
+"""Host-side graph construction -> padded, static-shape batches.
+
+TPU-native replacement for the reference's *in-forward* Python graph loops
+(reference models/equiformerv2_qm9.py:423-525 brute-force per molecule;
+models/equiformerv2_MatPES_GATAV2.py:285-349 3x3x3 periodic images).  Under
+XLA everything jitted must have static shapes, so neighbor search runs here
+(vectorized numpy in the input pipeline / C++ later) and the model receives
+padded arrays plus masks.  Displacement vectors are *re-derived inside jit*
+from positions + integer cell shifts so forces/stress gradients flow
+(reference GATAV2 recomputes dvec the same way at :336 — but drops the cell
+shift for image edges; we keep it, fixing that reference quirk).
+
+Semantics matched to the reference:
+* edges point src -> dst; messages aggregate at dst (edge_index[1]);
+* per-dst cap: keep the ``max_neighbors`` *closest* sources
+  (reference equiformerv2_qm9.py:470-489);
+* PBC: all 27 first-shell images, self-interaction excluded only in the
+  central image (reference equiformerv2_MatPES_GATAV2.py:296-311).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Sequence
+
+import numpy as np
+
+__all__ = ["GraphSample", "radius_graph", "radius_graph_pbc", "collate", "PaddedBatch"]
+
+
+@dataclass
+class GraphSample:
+    """One molecule/crystal, host side (numpy)."""
+
+    atomic_numbers: np.ndarray        # [n] int
+    pos: np.ndarray                   # [n, 3] float
+    cell: np.ndarray | None = None    # [3, 3] float (PBC) or None
+    pbc: bool = False
+    # labels (optional, dataset-dependent)
+    y: np.ndarray | None = None           # [T] molecular targets (QM9)
+    energy: float | None = None           # total or per-atom energy
+    forces: np.ndarray | None = None      # [n, 3]
+    stress: np.ndarray | None = None      # [6] Voigt
+
+
+def radius_graph(pos: np.ndarray, cutoff: float, max_neighbors: int | None):
+    """Non-PBC neighbor search with per-dst closest-k cap.
+
+    Returns (src, dst) index arrays.
+    """
+    n = pos.shape[0]
+    diff = pos[None, :, :] - pos[:, None, :]       # [i, j] = pos[j] - pos[i]
+    dist = np.linalg.norm(diff, axis=-1)
+    within = (dist < cutoff) & (dist > 1e-8)
+    src, dst = np.nonzero(within)
+    if max_neighbors is not None and src.size:
+        src, dst = _cap_per_dst(src, dst, dist[src, dst], max_neighbors)
+    return src, dst, np.zeros((src.size, 3), dtype=np.int32)
+
+
+def radius_graph_pbc(
+    pos: np.ndarray, cell: np.ndarray, cutoff: float, max_neighbors: int | None
+):
+    """PBC neighbor search over the 27 first-shell images.
+
+    Returns (src, dst, shift_int) with dvec = pos[dst] + shift_int @ cell - pos[src].
+    """
+    n = pos.shape[0]
+    rng = np.array([-1, 0, 1])
+    shifts = np.stack(
+        np.meshgrid(rng, rng, rng, indexing="ij"), axis=-1
+    ).reshape(-1, 3)                               # [27, 3]
+    offsets = shifts.astype(np.float64) @ cell     # [27, 3]
+
+    src_all, dst_all, shift_all, dist_all = [], [], [], []
+    for s_int, off in zip(shifts, offsets):
+        # [i, j] = (pos[j] + off) - pos[i]
+        diff = (pos[None, :, :] + off[None, None, :]) - pos[:, None, :]
+        dist = np.linalg.norm(diff, axis=-1)
+        if np.all(s_int == 0):
+            within = (dist < cutoff) & (dist > 1e-6)
+        else:
+            within = dist < cutoff
+        src, dst = np.nonzero(within)
+        if src.size:
+            src_all.append(src)
+            dst_all.append(dst)
+            shift_all.append(np.broadcast_to(s_int, (src.size, 3)))
+            dist_all.append(dist[src, dst])
+    if not src_all:
+        return (
+            np.zeros(0, np.int64),
+            np.zeros(0, np.int64),
+            np.zeros((0, 3), np.int32),
+        )
+    src = np.concatenate(src_all)
+    dst = np.concatenate(dst_all)
+    shift = np.concatenate(shift_all).astype(np.int32)
+    dist = np.concatenate(dist_all)
+    if max_neighbors is not None and src.size:
+        keep = _cap_per_dst_mask(dst, dist, max_neighbors)
+        src, dst, shift = src[keep], dst[keep], shift[keep]
+    return src, dst, shift
+
+
+def _cap_per_dst_mask(dst, dist, k: int) -> np.ndarray:
+    """Boolean mask keeping the k closest edges per destination node."""
+    order = np.lexsort((dist, dst))   # sort by dst, then distance
+    dst_sorted = dst[order]
+    # rank within each dst group
+    first = np.ones(dst_sorted.size, dtype=bool)
+    first[1:] = dst_sorted[1:] != dst_sorted[:-1]
+    group_start = np.maximum.accumulate(
+        np.where(first, np.arange(dst_sorted.size), 0)
+    )
+    rank = np.arange(dst_sorted.size) - group_start
+    keep_sorted = rank < k
+    keep = np.zeros(dst.size, dtype=bool)
+    keep[order] = keep_sorted
+    return keep
+
+
+def _cap_per_dst(src, dst, dist, k: int):
+    keep = _cap_per_dst_mask(dst, dist, k)
+    return src[keep], dst[keep]
+
+
+@dataclass
+class PaddedBatch:
+    """Static-shape device-ready batch (all numpy; jnp conversion at use)."""
+
+    atomic_numbers: np.ndarray   # [N_pad] int32 (0 = padding)
+    pos: np.ndarray              # [N_pad, 3] f32
+    graph_idx: np.ndarray        # [N_pad] int32
+    node_mask: np.ndarray        # [N_pad] bool
+    natoms: np.ndarray           # [B] int32
+    edge_src: np.ndarray         # [E_pad] int32
+    edge_dst: np.ndarray         # [E_pad] int32
+    edge_shift: np.ndarray       # [E_pad, 3] int32
+    edge_mask: np.ndarray        # [E_pad] bool
+    cell: np.ndarray             # [B, 3, 3] f32 (identity when non-PBC)
+    y: np.ndarray | None = None          # [B, T]
+    energy: np.ndarray | None = None     # [B]
+    forces: np.ndarray | None = None     # [N_pad, 3]
+    stress: np.ndarray | None = None     # [B, 6]
+
+    def asdict(self):
+        d = {
+            "atomic_numbers": self.atomic_numbers,
+            "pos": self.pos,
+            "graph_idx": self.graph_idx,
+            "node_mask": self.node_mask,
+            "natoms": self.natoms,
+            "edge_src": self.edge_src,
+            "edge_dst": self.edge_dst,
+            "edge_shift": self.edge_shift,
+            "edge_mask": self.edge_mask,
+            "cell": self.cell,
+        }
+        for k in ("y", "energy", "forces", "stress"):
+            v = getattr(self, k)
+            if v is not None:
+                d[k] = v
+        return d
+
+
+def collate(
+    samples: Sequence[GraphSample],
+    cutoff: float,
+    max_neighbors: int | None,
+    n_pad: int,
+    e_pad: int,
+) -> PaddedBatch:
+    """Build graphs per sample and pack into one padded batch.
+
+    Padding nodes get atomic number 0 / graph_idx 0 and are masked everywhere;
+    padding edges point at node 0 with mask False.  If the batch overflows the
+    static sizes, edges (then atoms) are truncated — callers should size
+    n_pad/e_pad from dataset statistics so this never triggers in practice.
+    """
+    B = len(samples)
+    az = np.zeros(n_pad, np.int32)
+    pos = np.zeros((n_pad, 3), np.float32)
+    gidx = np.zeros(n_pad, np.int32)
+    nmask = np.zeros(n_pad, bool)
+    natoms = np.zeros(B, np.int32)
+    esrc = np.zeros(e_pad, np.int32)
+    edst = np.zeros(e_pad, np.int32)
+    eshift = np.zeros((e_pad, 3), np.int32)
+    emask = np.zeros(e_pad, bool)
+    cell = np.tile(np.eye(3, dtype=np.float32), (B, 1, 1))
+
+    y0 = samples[0]
+    y = (
+        np.zeros((B,) + np.shape(y0.y), np.float32) if y0.y is not None else None
+    )
+    energy = np.zeros(B, np.float32) if y0.energy is not None else None
+    forces = np.zeros((n_pad, 3), np.float32) if y0.forces is not None else None
+    stress = np.zeros((B, 6), np.float32) if y0.stress is not None else None
+
+    node_off = 0
+    edge_off = 0
+    for b, s in enumerate(samples):
+        n = s.pos.shape[0]
+        n = min(n, n_pad - node_off)
+        if n <= 0:
+            break
+        sl = slice(node_off, node_off + n)
+        az[sl] = s.atomic_numbers[:n]
+        pos[sl] = s.pos[:n]
+        gidx[sl] = b
+        nmask[sl] = True
+        natoms[b] = n
+        if s.cell is not None:
+            cell[b] = s.cell
+        if s.pbc and s.cell is not None:
+            src, dst, shift = radius_graph_pbc(
+                s.pos[:n].astype(np.float64), s.cell, cutoff, max_neighbors
+            )
+        else:
+            src, dst, shift = radius_graph(
+                s.pos[:n].astype(np.float64), cutoff, max_neighbors
+            )
+        e = min(src.size, e_pad - edge_off)
+        esl = slice(edge_off, edge_off + e)
+        esrc[esl] = src[:e] + node_off
+        edst[esl] = dst[:e] + node_off
+        eshift[esl] = shift[:e]
+        emask[esl] = True
+        if y is not None:
+            y[b] = s.y
+        if energy is not None:
+            energy[b] = s.energy
+        if forces is not None:
+            forces[sl] = s.forces[:n]
+        if stress is not None:
+            stress[b] = s.stress
+        node_off += n
+        edge_off += e
+
+    return PaddedBatch(
+        atomic_numbers=az,
+        pos=pos,
+        graph_idx=gidx,
+        node_mask=nmask,
+        natoms=natoms,
+        edge_src=esrc,
+        edge_dst=edst,
+        edge_shift=eshift,
+        edge_mask=emask,
+        cell=cell,
+        y=y,
+        energy=energy,
+        forces=forces,
+        stress=stress,
+    )

@@ -1,0 +1,254 @@
+"""EquiformerV2 backbone, TPU-native.
+
+Re-design of the common skeleton of the reference model files
+(models/equiformerv2_qm9.py:186-637, equiformerv2_oc20.py:63-287,
+equiformerv2_MatPES_GATAV2.py:79-438): atom embedding -> distance RBF ->
+edge-degree embedding -> N transformer blocks -> final norm.
+
+TPU-first differences:
+* the graph (edge lists + integer cell shifts) is built in the input pipeline
+  (data/graph.py); the forward only *re-derives* displacement vectors from
+  positions inside jit, so force/stress gradients flow and every shape is
+  static;
+* per-edge Wigner matrices are built once per forward from our own J-matrix
+  factorization (ops/rotation.py) and shared across all blocks;
+* all irregular aggregation is masked segment_sum/softmax (ops/segment.py).
+
+When ``gata=True`` this is the GATA-V2 variant: edge stream ``t_ij``
+initialized as (h_i + h_j) * W_erp(phi(r)) (reference
+equiformerv2_MatPES_GATAV2.py:243-281) and threaded through the blocks with
+HTR refinement; ``rl_ij`` edge SH computed in the global frame (detached).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.irreps import layout as get_layout
+from ..ops.rotation import compute_wigner
+from ..ops.s2grid import s2grid
+from ..ops.sph import real_sph_harm
+from .. import nn as enn
+from ..nn.block import TransBlock
+from ..nn.embedding import EdgeDegreeEmbedding
+from ..nn.layers import Dense, GaussianSmearing
+from ..nn.norms import get_normalization_layer
+
+__all__ = ["EquiformerV2Backbone", "BackboneOutput"]
+
+
+class BackboneOutput:
+    """Plain container for backbone results (node features + edge reusables)."""
+
+    def __init__(self, x, edge_scalars, edge_dist, wigner, edge_src, edge_dst):
+        self.x = x
+        self.edge_scalars = edge_scalars
+        self.edge_dist = edge_dist
+        self.wigner = wigner
+        self.edge_src = edge_src
+        self.edge_dst = edge_dst
+
+
+class EquiformerV2Backbone(nn.Module):
+    # architecture
+    num_layers: int = 8
+    sphere_channels: int = 128
+    attn_hidden_channels: int = 128
+    num_heads: int = 8
+    attn_alpha_channels: int = 32
+    attn_value_channels: int = 16
+    ffn_hidden_channels: int = 512
+    lmax: int = 4
+    mmax: int = 2
+    grid_resolution: Optional[int] = None
+    edge_channels: int = 128
+    num_rbf: int = 600
+    max_num_elements: int = 90
+    cutoff: float = 5.0
+    # flags (reference defaults)
+    norm_type: str = "rms_norm_sh"
+    use_atom_edge_embedding: bool = True
+    share_atom_edge_embedding: bool = False
+    use_m_share_rad: bool = False
+    use_attn_renorm: bool = True
+    use_gate_act: bool = False
+    use_grid_mlp: bool = False
+    use_sep_s2_act: bool = True
+    alpha_drop: float = 0.0
+    drop_path_rate: float = 0.0
+    proj_drop: float = 0.0
+    avg_degree: float = 6.0       # EdgeDegreeEmbedding rescale
+    # GATA variant
+    gata: bool = False
+    normalize_attn_output: bool = True
+    use_phi_every_layer: bool = False
+    # compute dtype for the block stack ("float32" | "bfloat16")
+    compute_dtype: str = "float32"
+
+    @nn.compact
+    def __call__(
+        self,
+        atomic_numbers,   # [N] int32
+        pos,              # [N, 3] f32 (differentiable!)
+        graph_idx,        # [N] int32
+        edge_src,         # [E] int32
+        edge_dst,         # [E] int32
+        edge_shift,       # [E, 3] int32 cell image offsets
+        edge_mask,        # [E] bool
+        cell,             # [B, 3, 3] f32
+        deterministic: bool = True,
+    ) -> BackboneOutput:
+        lay_full = get_layout(self.lmax, self.lmax)
+        lay_red = get_layout(self.lmax, self.mmax)
+        grid_red = s2grid(self.lmax, self.mmax, self.grid_resolution)
+        grid_full = s2grid(self.lmax, self.lmax, self.grid_resolution)
+        N = atomic_numbers.shape[0]
+        num_graphs = cell.shape[0]
+        cdt = jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
+
+        # ── displacements (grad-carrying) ─────────────────────────────────
+        shift_cart = jnp.einsum(
+            "ek,ekj->ej",
+            edge_shift.astype(pos.dtype),
+            cell[graph_idx[edge_dst]],
+        )
+        dvec = pos[edge_dst] + shift_cart - pos[edge_src]       # [E, 3]
+        dist = jnp.sqrt(jnp.maximum(jnp.sum(dvec * dvec, -1), 1e-12))
+
+        # ── per-edge Wigner matrices (detached geometry) ──────────────────
+        wigner = compute_wigner(self.lmax, dvec)
+
+        # ── invariant edge features ───────────────────────────────────────
+        smear = GaussianSmearing(0.0, self.cutoff, self.num_rbf, 2.0)
+        phi_r = smear(dist)                                     # [E, num_rbf]
+        edge_channels_list = [self.num_rbf, self.edge_channels, self.edge_channels]
+        if self.share_atom_edge_embedding and self.use_atom_edge_embedding:
+            from ..nn.attention import _atom_edge_embedding_init
+
+            src_emb = nn.Embed(
+                self.max_num_elements, self.edge_channels,
+                embedding_init=_atom_edge_embedding_init,
+                name="shared_source_embedding",
+            )(atomic_numbers[edge_src])
+            dst_emb = nn.Embed(
+                self.max_num_elements, self.edge_channels,
+                embedding_init=_atom_edge_embedding_init,
+                name="shared_target_embedding",
+            )(atomic_numbers[edge_dst])
+            edge_scalars = jnp.concatenate([phi_r, src_emb, dst_emb], axis=1)
+            edge_channels_list[0] += 2 * self.edge_channels
+            block_atom_edge = False
+        else:
+            edge_scalars = phi_r
+            block_atom_edge = self.use_atom_edge_embedding
+
+        # ── node embedding: l=0 from atomic number ────────────────────────
+        sphere_emb = nn.Embed(
+            self.max_num_elements, self.sphere_channels, name="sphere_embedding"
+        )(atomic_numbers)
+        x = jnp.zeros(
+            (N, lay_full.num_coefficients_full, self.sphere_channels),
+            dtype=jnp.float32,
+        )
+        x = x.at[:, 0, :].set(sphere_emb)
+
+        x = x + EdgeDegreeEmbedding(
+            sphere_channels=self.sphere_channels,
+            layout_red=lay_red,
+            max_num_elements=self.max_num_elements,
+            edge_channels_list=tuple(edge_channels_list),
+            use_atom_edge_embedding=block_atom_edge,
+            rescale_factor=self.avg_degree,
+            name="edge_degree_embedding",
+        )(
+            atomic_numbers, edge_scalars, edge_src, edge_dst, edge_mask,
+            wigner, N,
+        )
+
+        # ── GATA streams ──────────────────────────────────────────────────
+        t_ij = None
+        rl_ij = None
+        if self.gata:
+            # edge SH in the global frame, l >= 1, 'norm' normalization,
+            # detached (reference equiformerv2_MatPES_GATAV2.py:232-241)
+            unit = dvec / dist[..., None]
+            rl_full = real_sph_harm(self.lmax, unit, normalization="norm")
+            rl_ij = jax.lax.stop_gradient(rl_full[:, 1:])
+            # t_ij init (reference :243-281)
+            h = x[:, 0, :]
+            h_sum = Dense(self.edge_channels, name="h_proj")(
+                h[edge_src] + h[edge_dst]
+            )
+            t_ij = h_sum * Dense(self.edge_channels, name="W_erp")(phi_r)
+
+        # ── transformer blocks ────────────────────────────────────────────
+        x = x.astype(cdt)
+        for i in range(self.num_layers):
+            block = TransBlock(
+                layout_full=lay_full,
+                layout_red=lay_red,
+                grid_red=grid_red,
+                grid_full=grid_full,
+                sphere_channels=self.sphere_channels,
+                attn_hidden_channels=self.attn_hidden_channels,
+                num_heads=self.num_heads,
+                attn_alpha_channels=self.attn_alpha_channels,
+                attn_value_channels=self.attn_value_channels,
+                ffn_hidden_channels=self.ffn_hidden_channels,
+                output_channels=self.sphere_channels,
+                max_num_elements=self.max_num_elements,
+                edge_channels_list=tuple(edge_channels_list),
+                use_atom_edge_embedding=block_atom_edge,
+                use_m_share_rad=self.use_m_share_rad,
+                use_attn_renorm=self.use_attn_renorm,
+                use_gate_act=self.use_gate_act,
+                use_grid_mlp=self.use_grid_mlp,
+                use_sep_s2_act=self.use_sep_s2_act,
+                norm_type=self.norm_type,
+                alpha_drop=self.alpha_drop,
+                drop_path_rate=self.drop_path_rate,
+                proj_drop=self.proj_drop,
+                gata=self.gata,
+                edge_channels=self.edge_channels,
+                normalize_attn_output=self.normalize_attn_output,
+                use_phi_every_layer=self.use_phi_every_layer,
+                num_rbf=self.num_rbf,
+                name=f"block_{i}",
+            )
+            out = block(
+                x,
+                atomic_numbers,
+                edge_scalars.astype(cdt),
+                edge_src,
+                edge_dst,
+                edge_mask,
+                wigner,
+                graph_idx,
+                num_graphs,
+                t_ij=t_ij,
+                rl_ij=rl_ij,
+                phi_r=phi_r.astype(cdt) if self.use_phi_every_layer else None,
+                deterministic=deterministic,
+            )
+            if self.gata:
+                x, t_ij = out
+            else:
+                x = out
+
+        x = get_normalization_layer(
+            self.norm_type, self.lmax, self.sphere_channels
+        )(x)
+        x = x.astype(jnp.float32)
+
+        return BackboneOutput(
+            x=x,
+            edge_scalars=edge_scalars,
+            edge_dist=dist,
+            wigner=wigner,
+            edge_src=edge_src,
+            edge_dst=edge_dst,
+        )

@@ -1,0 +1,118 @@
+"""EquiformerV2 for QM9: 12 molecular scalar property heads.
+
+Re-design of reference models/equiformerv2_qm9.py:97-756 — per-target FFN
+heads reading the l=0 channel, masked-summed over each molecule's atoms
+(no division by avg-num-nodes, matching reference :664-697).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..nn.ffn import FeedForward
+from ..ops.s2grid import s2grid
+from ..ops.segment import segment_sum
+from .backbone import EquiformerV2Backbone
+
+__all__ = ["EquiformerV2QM9"]
+
+
+class EquiformerV2QM9(nn.Module):
+    num_targets: int = 12
+    num_layers: int = 8
+    sphere_channels: int = 128
+    attn_hidden_channels: int = 128
+    num_heads: int = 8
+    attn_alpha_channels: int = 32
+    attn_value_channels: int = 16
+    ffn_hidden_channels: int = 512
+    lmax: int = 4
+    mmax: int = 2
+    grid_resolution: int | None = None
+    edge_channels: int = 128
+    num_rbf: int = 600
+    max_num_elements: int = 10
+    cutoff: float = 5.0
+    norm_type: str = "rms_norm_sh"
+    use_gate_act: bool = False
+    use_grid_mlp: bool = False
+    use_sep_s2_act: bool = True
+    use_m_share_rad: bool = False
+    use_attn_renorm: bool = True
+    use_atom_edge_embedding: bool = True
+    share_atom_edge_embedding: bool = False
+    alpha_drop: float = 0.1
+    drop_path_rate: float = 0.05
+    proj_drop: float = 0.0
+    avg_degree: float = 6.0   # reference _AVG_DEGREE_QM9
+    compute_dtype: str = "float32"
+
+    @nn.compact
+    def __call__(self, batch: dict, deterministic: bool = True):
+        """batch: PaddedBatch.asdict() arrays.  Returns [B, num_targets]."""
+        out = EquiformerV2Backbone(
+            num_layers=self.num_layers,
+            sphere_channels=self.sphere_channels,
+            attn_hidden_channels=self.attn_hidden_channels,
+            num_heads=self.num_heads,
+            attn_alpha_channels=self.attn_alpha_channels,
+            attn_value_channels=self.attn_value_channels,
+            ffn_hidden_channels=self.ffn_hidden_channels,
+            lmax=self.lmax,
+            mmax=self.mmax,
+            grid_resolution=self.grid_resolution,
+            edge_channels=self.edge_channels,
+            num_rbf=self.num_rbf,
+            max_num_elements=self.max_num_elements,
+            cutoff=self.cutoff,
+            norm_type=self.norm_type,
+            use_gate_act=self.use_gate_act,
+            use_grid_mlp=self.use_grid_mlp,
+            use_sep_s2_act=self.use_sep_s2_act,
+            use_m_share_rad=self.use_m_share_rad,
+            use_attn_renorm=self.use_attn_renorm,
+            use_atom_edge_embedding=self.use_atom_edge_embedding,
+            share_atom_edge_embedding=self.share_atom_edge_embedding,
+            alpha_drop=self.alpha_drop,
+            drop_path_rate=self.drop_path_rate,
+            proj_drop=self.proj_drop,
+            avg_degree=self.avg_degree,
+            compute_dtype=self.compute_dtype,
+            name="backbone",
+        )(
+            batch["atomic_numbers"],
+            batch["pos"],
+            batch["graph_idx"],
+            batch["edge_src"],
+            batch["edge_dst"],
+            batch["edge_shift"],
+            batch["edge_mask"],
+            batch["cell"],
+            deterministic=deterministic,
+        )
+
+        grid_full = s2grid(self.lmax, self.lmax, self.grid_resolution)
+        num_graphs = batch["cell"].shape[0]
+        preds = []
+        for t in range(self.num_targets):
+            node_c = FeedForward(
+                sphere_channels=self.sphere_channels,
+                hidden_channels=self.ffn_hidden_channels,
+                output_channels=1,
+                lmax=self.lmax,
+                grid_full=grid_full,
+                use_gate_act=self.use_gate_act,
+                use_grid_mlp=self.use_grid_mlp,
+                use_sep_s2_act=self.use_sep_s2_act,
+                name=f"output_block_{t}",
+            )(out.x)[:, 0, 0]
+            preds.append(
+                segment_sum(
+                    node_c,
+                    batch["graph_idx"],
+                    num_segments=num_graphs,
+                    mask=batch["node_mask"],
+                )
+            )
+        return jnp.stack(preds, axis=1)

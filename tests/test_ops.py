@@ -1,0 +1,179 @@
+"""Op-level equivariance tests: SO(2) conv pipeline, norms, activations, segments."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from equivarianttransformermpnn4quantumcomputations_tpu.ops import rotation as R
+from equivarianttransformermpnn4quantumcomputations_tpu.ops import wigner_np as W
+from equivarianttransformermpnn4quantumcomputations_tpu.ops.irreps import layout
+from equivarianttransformermpnn4quantumcomputations_tpu.ops.s2grid import s2grid
+from equivarianttransformermpnn4quantumcomputations_tpu.ops.segment import (
+    segment_softmax,
+    segment_sum,
+)
+from equivarianttransformermpnn4quantumcomputations_tpu.nn.so3_layers import SO2Conv, SO3Linear
+from equivarianttransformermpnn4quantumcomputations_tpu.nn.norms import (
+    EquivariantRMSNormSH,
+)
+from equivarianttransformermpnn4quantumcomputations_tpu.nn.activations import (
+    gate_activation,
+)
+
+LMAX, MMAX = 3, 2
+
+
+def global_D(lmax, a, b, g):
+    """Block-diag real Wigner-D [(lmax+1)^2]^2 for global rotation."""
+    K = (lmax + 1) ** 2
+    D = np.zeros((K, K))
+    for l in range(lmax + 1):
+        D[l * l : l * l + 2 * l + 1, l * l : l * l + 2 * l + 1] = (
+            W.real_wigner_D_angles(l, a, b, g)
+        )
+    return D
+
+
+def rotmat_zyz(a, b, g):
+    def rz(t):
+        return np.array(
+            [[np.cos(t), -np.sin(t), 0], [np.sin(t), np.cos(t), 0], [0, 0, 1]]
+        )
+
+    def ry(t):
+        return np.array(
+            [[np.cos(t), 0, np.sin(t)], [0, 1, 0], [-np.sin(t), 0, np.cos(t)]]
+        )
+
+    return rz(a) @ ry(b) @ rz(g)
+
+
+def test_so2_pipeline_equivariance():
+    """rotate-to-edge -> SO2 conv -> rotate-back commutes with global rotation."""
+    lay_red = layout(LMAX, MMAX)
+    rng = np.random.default_rng(0)
+    E, C = 6, 8
+    vecs = rng.normal(size=(E, 3)).astype(np.float32)
+    x = rng.normal(size=(E, (LMAX + 1) ** 2, C)).astype(np.float32)
+
+    conv = SO2Conv(layout=lay_red, in_channels=C, out_channels=C)
+    params = conv.init(jax.random.PRNGKey(0), jnp.zeros_like(x[:, lay_red.full_indices, :]))
+
+    def pipeline(x_in, v_in):
+        wig = R.compute_wigner(LMAX, jnp.asarray(v_in))
+        xe = R.rotate_to_edge(wig, jnp.asarray(x_in), lay_red)
+        y, _ = conv.apply(params, xe)
+        return np.asarray(R.rotate_from_edge(wig, y, lay_red))
+
+    a, b, g = rng.uniform(-np.pi, np.pi, 3)
+    Rm = rotmat_zyz(a, b, g).astype(np.float32)
+    D = global_D(LMAX, a, b, g).astype(np.float32)
+
+    out = pipeline(x, vecs)
+    out_rot = pipeline(
+        np.einsum("ij,ejc->eic", D, x), (vecs @ Rm.T)
+    )
+    expected = np.einsum("ij,ejc->eic", D, out)
+    assert np.abs(out_rot - expected).max() < 5e-4, np.abs(out_rot - expected).max()
+
+
+def test_so3_linear_equivariance():
+    rng = np.random.default_rng(1)
+    N, C = 5, 8
+    x = rng.normal(size=(N, (LMAX + 1) ** 2, C)).astype(np.float32)
+    lin = SO3Linear(C, C, LMAX)
+    params = lin.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    a, b, g = rng.uniform(-np.pi, np.pi, 3)
+    D = global_D(LMAX, a, b, g).astype(np.float32)
+    y1 = np.einsum("ij,njc->nic", D, np.asarray(lin.apply(params, jnp.asarray(x))))
+    y2 = np.asarray(lin.apply(params, jnp.asarray(np.einsum("ij,njc->nic", D, x))))
+    # bias on l=0 is rotation-invariant so this must hold exactly
+    assert np.abs(y1 - y2).max() < 1e-5
+
+
+def test_rms_norm_equivariance():
+    rng = np.random.default_rng(2)
+    N, C = 5, 8
+    x = rng.normal(size=(N, (LMAX + 1) ** 2, C)).astype(np.float32)
+    norm = EquivariantRMSNormSH(lmax=LMAX, num_channels=C)
+    params = norm.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    a, b, g = rng.uniform(-np.pi, np.pi, 3)
+    D = global_D(LMAX, a, b, g).astype(np.float32)
+    y1 = np.einsum("ij,njc->nic", D, np.asarray(norm.apply(params, jnp.asarray(x))))
+    y2 = np.asarray(
+        norm.apply(params, jnp.asarray(np.einsum("ij,njc->nic", D, x)))
+    )
+    assert np.abs(y1 - y2).max() < 1e-5
+
+
+def test_gate_activation_equivariance():
+    rng = np.random.default_rng(3)
+    N, C = 5, 8
+    lay = layout(LMAX, LMAX)
+    x = rng.normal(size=(N, lay.num_coefficients, C)).astype(np.float32)
+    gates = rng.normal(size=(N, LMAX * C)).astype(np.float32)
+    a, b, g = rng.uniform(-np.pi, np.pi, 3)
+    D = global_D(LMAX, a, b, g).astype(np.float32)
+    y1 = np.einsum(
+        "ij,njc->nic",
+        D,
+        np.asarray(gate_activation(jnp.asarray(gates), jnp.asarray(x), LMAX, LMAX, C)),
+    )
+    xr = np.einsum("ij,njc->nic", D, x)
+    y2 = np.asarray(gate_activation(jnp.asarray(gates), jnp.asarray(xr), LMAX, LMAX, C))
+    assert np.abs(y1 - y2).max() < 2e-5
+
+
+def test_s2grid_roundtrip():
+    rng = np.random.default_rng(4)
+    g = s2grid(LMAX, LMAX)
+    x = rng.normal(size=(7, (LMAX + 1) ** 2, 4)).astype(np.float32)
+    back = np.asarray(g.from_grid(g.to_grid(jnp.asarray(x))))
+    assert np.abs(back - x).max() < 1e-4
+
+
+def test_s2_activation_approx_equivariance():
+    """S2 point-sample activation is approximately equivariant (as in ref)."""
+    from equivarianttransformermpnn4quantumcomputations_tpu.nn.activations import (
+        s2_activation,
+    )
+
+    rng = np.random.default_rng(5)
+    x = (0.3 * rng.normal(size=(5, (LMAX + 1) ** 2, 4))).astype(np.float32)
+    a, b, gm = rng.uniform(-np.pi, np.pi, 3)
+    D = global_D(LMAX, a, b, gm).astype(np.float32)
+
+    def rel_err(res):
+        g = s2grid(LMAX, LMAX, res)
+        y1 = np.einsum(
+            "ij,njc->nic", D, np.asarray(s2_activation(jnp.asarray(x), g))
+        )
+        xr = np.einsum("ij,njc->nic", D, x)
+        y2 = np.asarray(s2_activation(jnp.asarray(xr), g))
+        return np.abs(y1 - y2).max() / np.abs(y1).max()
+
+    # default resolution: same coarse grid as the reference — approximate
+    assert rel_err(None) < 0.2
+    # refining the grid must converge to exact equivariance
+    assert rel_err(16) < 1e-4
+
+
+def test_segment_softmax_masked():
+    logits = jnp.asarray([1.0, 2.0, 3.0, 100.0, 5.0])
+    seg = jnp.asarray([0, 0, 1, 1, 2])
+    mask = jnp.asarray([True, True, True, False, True])
+    w = np.asarray(segment_softmax(logits, seg, 4, mask))
+    assert np.allclose(w[0] + w[1], 1.0, atol=1e-6)
+    assert np.allclose(w[2], 1.0, atol=1e-6)  # masked partner
+    assert w[3] == 0.0
+    assert np.allclose(w[4], 1.0, atol=1e-6)
+    # segment 3 empty: no NaN anywhere
+    assert np.isfinite(w).all()
+
+
+def test_segment_sum_masked():
+    vals = jnp.asarray([[1.0], [2.0], [4.0]])
+    seg = jnp.asarray([0, 0, 1])
+    mask = jnp.asarray([True, False, True])
+    out = np.asarray(segment_sum(vals, seg, 3, mask))
+    assert np.allclose(out[:, 0], [1.0, 4.0, 0.0])
