@@ -1,0 +1,231 @@
+"""EquiformerV2 for MatPES: per-atom energy, autograd forces, optional stress.
+
+Re-design of reference models/equiformerv2_MatPES.py:68-538 and the GATA
+variants (equiformerv2_MatPES_GATAV2.py — ``gata=True`` here).
+
+Force/stress design (TPU-native):
+* the energy function is pure in (params, pos, strain); forces are
+  ``-d(sum E)/d pos`` via one ``jax.grad`` — the reference's
+  ``autograd.grad(..., create_graph=True)`` double-backward becomes plain
+  grad-of-grad composition under jit;
+* stress uses the strain trick exactly as the reference
+  (equiformerv2_MatPES.py:374-391): positions and cell are deformed by
+  ``(I + eps)`` and ``dE/d eps / volume`` is read off in Voigt-6 form.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..nn.ffn import FeedForward
+from ..ops.s2grid import s2grid
+from ..ops.segment import segment_sum
+from .backbone import EquiformerV2Backbone
+
+__all__ = ["EquiformerV2MatPES", "matpes_energy_forces_stress"]
+
+
+class EquiformerV2MatPES(nn.Module):
+    """Backbone + scalar energy head; returns per-atom-normalized energy."""
+
+    num_layers: int = 6
+    sphere_channels: int = 128
+    attn_hidden_channels: int = 128
+    num_heads: int = 8
+    attn_alpha_channels: int = 32
+    attn_value_channels: int = 16
+    ffn_hidden_channels: int = 512
+    lmax: int = 4
+    mmax: int = 2
+    grid_resolution: int | None = 18
+    edge_channels: int = 128
+    num_rbf: int = 600
+    max_num_elements: int = 100
+    cutoff: float = 6.0
+    norm_type: str = "rms_norm_sh"
+    use_gate_act: bool = False
+    use_grid_mlp: bool = False
+    use_sep_s2_act: bool = True
+    use_m_share_rad: bool = False
+    use_attn_renorm: bool = True
+    use_atom_edge_embedding: bool = True
+    share_atom_edge_embedding: bool = False
+    alpha_drop: float = 0.05
+    drop_path_rate: float = 0.05
+    proj_drop: float = 0.0
+    avg_degree: float = 12.0       # reference _AVG_DEGREE_MATPES
+    # GATA
+    gata: bool = True
+    normalize_attn_output: bool = True
+    use_phi_every_layer: bool = False
+    compute_dtype: str = "float32"
+
+    @nn.compact
+    def __call__(self, batch: dict, pos=None, deterministic: bool = True):
+        """Returns dict(energy [B,1] per-atom, energy_total [B], node_energy [N])."""
+        if pos is None:
+            pos = batch["pos"]
+        out = EquiformerV2Backbone(
+            num_layers=self.num_layers,
+            sphere_channels=self.sphere_channels,
+            attn_hidden_channels=self.attn_hidden_channels,
+            num_heads=self.num_heads,
+            attn_alpha_channels=self.attn_alpha_channels,
+            attn_value_channels=self.attn_value_channels,
+            ffn_hidden_channels=self.ffn_hidden_channels,
+            lmax=self.lmax,
+            mmax=self.mmax,
+            grid_resolution=self.grid_resolution,
+            edge_channels=self.edge_channels,
+            num_rbf=self.num_rbf,
+            max_num_elements=self.max_num_elements,
+            cutoff=self.cutoff,
+            norm_type=self.norm_type,
+            use_gate_act=self.use_gate_act,
+            use_grid_mlp=self.use_grid_mlp,
+            use_sep_s2_act=self.use_sep_s2_act,
+            use_m_share_rad=self.use_m_share_rad,
+            use_attn_renorm=self.use_attn_renorm,
+            use_atom_edge_embedding=self.use_atom_edge_embedding,
+            share_atom_edge_embedding=self.share_atom_edge_embedding,
+            alpha_drop=self.alpha_drop,
+            drop_path_rate=self.drop_path_rate,
+            proj_drop=self.proj_drop,
+            avg_degree=self.avg_degree,
+            gata=self.gata,
+            normalize_attn_output=self.normalize_attn_output,
+            use_phi_every_layer=self.use_phi_every_layer,
+            compute_dtype=self.compute_dtype,
+            name="backbone",
+        )(
+            batch["atomic_numbers"],
+            pos,
+            batch["graph_idx"],
+            batch["edge_src"],
+            batch["edge_dst"],
+            batch["edge_shift"],
+            batch["edge_mask"],
+            batch.get("strained_cell", batch["cell"]),
+            deterministic=deterministic,
+        )
+
+        grid_full = s2grid(self.lmax, self.lmax, self.grid_resolution)
+        node_energy = FeedForward(
+            sphere_channels=self.sphere_channels,
+            hidden_channels=self.ffn_hidden_channels,
+            output_channels=1,
+            lmax=self.lmax,
+            grid_full=grid_full,
+            use_gate_act=self.use_gate_act,
+            use_grid_mlp=self.use_grid_mlp,
+            use_sep_s2_act=self.use_sep_s2_act,
+            name="energy_block",
+        )(out.x)[:, 0, 0]
+
+        num_graphs = batch["cell"].shape[0]
+        energy_total = segment_sum(
+            node_energy,
+            batch["graph_idx"],
+            num_segments=num_graphs,
+            mask=batch["node_mask"],
+        )
+        natoms = jnp.maximum(batch["natoms"].astype(energy_total.dtype), 1.0)
+        return {
+            "energy": (energy_total / natoms)[:, None],
+            "energy_total": energy_total,
+            "node_energy": node_energy,
+        }
+
+
+def matpes_energy_forces_stress(
+    model: EquiformerV2MatPES,
+    params,
+    batch: dict,
+    regress_stress: bool = False,
+    rngs=None,
+    deterministic: bool = True,
+):
+    """Energy + forces (+ stress) with a single grad pass.
+
+    Forces: F = -dE_total/d pos.  Stress: the strain trick
+    (reference equiformerv2_MatPES.py:374-391, 461-488) — deform
+    ``pos' = pos @ (I + eps)``, ``cell' = cell @ (I + eps)`` with a symmetric
+    strain eps = 0 and return dE/d eps / volume in Voigt order
+    (xx, yy, zz, yz, xz, xy).
+    """
+
+    def energy_fn(pos, strain):
+        eye = jnp.eye(3, dtype=pos.dtype)
+        defo = eye + strain
+        pos_s = pos @ defo
+        b = dict(batch)
+        b["strained_cell"] = batch["cell"] @ defo[None]
+        outs = model.apply(
+            params, b, pos=pos_s, deterministic=deterministic, rngs=rngs
+        )
+        return jnp.sum(outs["energy_total"]), outs
+
+    strain0 = jnp.zeros((3, 3), dtype=batch["pos"].dtype)
+    (grads, outs) = jax.grad(energy_fn, argnums=(0, 1), has_aux=True)(
+        batch["pos"], strain0
+    )
+    dpos, dstrain = grads
+    forces = -dpos * batch["node_mask"][:, None].astype(dpos.dtype)
+    result = dict(outs)
+    result["forces"] = forces
+    if regress_stress:
+        # symmetrize and normalize by total volume of each cell: the single
+        # shared strain couples all graphs, so use per-batch mean volume as
+        # the reference does per-graph; proper per-graph stress uses a
+        # [B, 3, 3] strain — provided below.
+        sym = 0.5 * (dstrain + dstrain.T)
+        vol = jnp.abs(jnp.linalg.det(batch["cell"])).sum()
+        s = sym / jnp.maximum(vol, 1e-9)
+        result["stress"] = jnp.stack(
+            [s[0, 0], s[1, 1], s[2, 2], s[1, 2], s[0, 2], s[0, 1]]
+        )
+    return result
+
+
+def matpes_energy_forces_stress_pergraph(
+    model: EquiformerV2MatPES,
+    params,
+    batch: dict,
+    rngs=None,
+    deterministic: bool = True,
+):
+    """Per-graph stress: one symmetric strain per graph ([B, 3, 3])."""
+
+    def energy_fn(pos, strain):
+        eye = jnp.eye(3, dtype=pos.dtype)
+        defo = eye[None] + strain                      # [B, 3, 3]
+        pos_s = jnp.einsum(
+            "ni,nij->nj", pos, defo[batch["graph_idx"]]
+        )
+        b = dict(batch)
+        b["strained_cell"] = jnp.einsum("bij,bjk->bik", batch["cell"], defo)
+        outs = model.apply(
+            params, b, pos=pos_s, deterministic=deterministic, rngs=rngs
+        )
+        return jnp.sum(outs["energy_total"]), outs
+
+    B = batch["cell"].shape[0]
+    strain0 = jnp.zeros((B, 3, 3), dtype=batch["pos"].dtype)
+    (grads, outs) = jax.grad(energy_fn, argnums=(0, 1), has_aux=True)(
+        batch["pos"], strain0
+    )
+    dpos, dstrain = grads
+    forces = -dpos * batch["node_mask"][:, None].astype(dpos.dtype)
+    sym = 0.5 * (dstrain + jnp.swapaxes(dstrain, -1, -2))   # [B, 3, 3]
+    vol = jnp.abs(jnp.linalg.det(batch["cell"]))
+    s = sym / jnp.maximum(vol, 1e-9)[:, None, None]
+    stress = jnp.stack(
+        [s[:, 0, 0], s[:, 1, 1], s[:, 2, 2], s[:, 1, 2], s[:, 0, 2], s[:, 0, 1]],
+        axis=1,
+    )
+    result = dict(outs)
+    result["forces"] = forces
+    result["stress"] = stress
+    return result
