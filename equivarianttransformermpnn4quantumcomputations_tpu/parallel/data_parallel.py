@@ -1,0 +1,170 @@
+"""Data-parallel training over a jax.sharding.Mesh.
+
+TPU-native replacement for the reference's DDP/NCCL layer
+(models/train_oc20v2_parallel.py:34-54, 430-436): instead of per-process
+NCCL groups and DistributedSampler, we build one device mesh with a ``data``
+axis, give every device its own self-contained padded micro-batch (leading
+axis = mesh size, sharded over ``data``), and run the per-device step under
+``shard_map`` with a ``psum``-mean of gradients and metrics — the direct XLA
+analog of DDP's all-reduce (reference :204-211 metric all_reduce SUM).
+
+Parameters and optimizer state are replicated (pure DP, what the reference
+supports).  The mesh is built so additional axes (``model`` for
+tensor-parallel sharding of channel dims) can be added without changing the
+step signature; see parallel/tensor_parallel notes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = [
+    "make_mesh",
+    "make_dp_train_step_from_loss",
+    "make_qm9_dp_step",
+    "make_matpes_dp_step",
+    "stack_microbatches",
+    "shard_batch",
+]
+
+
+def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None:
+            devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), axis_names=("data",))
+
+
+def stack_microbatches(batches) -> dict:
+    """Stack D per-device batch dicts into one with leading device axis."""
+    keys = batches[0].keys()
+    return {k: np.stack([np.asarray(b[k]) for b in batches]) for k in keys}
+
+
+def shard_batch(mesh: Mesh, stacked: dict) -> dict:
+    """Device-put a stacked batch with the leading axis over 'data'."""
+    sharding = NamedSharding(mesh, P("data"))
+    return {k: jax.device_put(jnp.asarray(v), sharding) for k, v in stacked.items()}
+
+
+def make_dp_train_step_from_loss(
+    loss_grad_fn: Callable,   # (params, batch, rng) -> (loss_metrics, grads)
+    apply_updates_fn: Callable,  # (state, grads) -> (new_state, extra_metrics)
+    mesh: Mesh,
+):
+    """Build a pjit-able DP train step.
+
+    ``loss_grad_fn`` runs per device shard on its micro-batch; gradients and
+    metrics are psum-averaged over the ``data`` axis; ``apply_updates_fn``
+    (optimizer + EMA) then runs identically on every replica.
+    """
+
+    def per_device(state, batch, rng):
+        # batch arrives with the leading device axis stripped by shard_map
+        metrics, grads = loss_grad_fn(state.params, batch, rng)
+        grads = jax.lax.pmean(grads, axis_name="data")
+        metrics = jax.lax.pmean(metrics, axis_name="data")
+        new_state = apply_updates_fn(state, grads)
+        return new_state, metrics
+
+    def squeeze_leading(tree):
+        return jax.tree_util.tree_map(lambda x: jnp.squeeze(x, 0), tree)
+
+    def dp_step(state, stacked_batch, rng):
+        fn = shard_map(
+            lambda s, b, r: per_device(
+                s, squeeze_leading(b), r[0]
+            ),
+            mesh=mesh,
+            in_specs=(P(), P("data"), P("data")),
+            out_specs=(P(), P()),
+        )
+        # one dropout rng per device
+        n = mesh.devices.size
+        rngs = jax.random.split(rng, n)
+        return fn(state, stacked_batch, rngs)
+
+    return dp_step
+
+
+def _apply_updates_factory(tx, ema_decay: float = 0.999):
+    import optax
+
+    from ..train.trainer import TrainState, ema_update
+
+    def apply_updates(state: "TrainState", grads):
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(
+            step=state.step + 1,
+            params=params,
+            opt_state=opt_state,
+            ema_params=ema_update(state.ema_params, params, ema_decay),
+        )
+
+    return apply_updates
+
+
+def make_qm9_dp_step(model, tx, mesh: Mesh, loss_kind: str = "l1"):
+    """Data-parallel QM9 train step (jit once, reuse every step)."""
+    from ..train.trainer import qm9_loss
+
+    def loss_grad(params, batch, rng):
+        def loss_fn(p):
+            pred = model.apply(
+                p, batch, deterministic=False, rngs={"dropout": rng}
+            )
+            return qm9_loss(pred, batch["y"], loss_kind)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        return {"loss": loss}, grads
+
+    step = make_dp_train_step_from_loss(
+        loss_grad, _apply_updates_factory(tx), mesh
+    )
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def make_matpes_dp_step(
+    model, tx, mesh: Mesh,
+    w_energy: float = 1.0, w_force: float = 1.0, w_stress: float = 0.0,
+):
+    """Data-parallel MatPES train step with autograd forces (+stress)."""
+    from ..models.matpes import (
+        matpes_energy_forces_stress,
+        matpes_energy_forces_stress_pergraph,
+    )
+    from ..train.trainer import matpes_loss
+
+    def loss_grad(params, batch, rng):
+        def loss_fn(p):
+            if w_stress > 0.0:
+                outs = matpes_energy_forces_stress_pergraph(
+                    model, p, batch, rngs={"dropout": rng}, deterministic=False
+                )
+            else:
+                outs = matpes_energy_forces_stress(
+                    model, p, batch, regress_stress=False,
+                    rngs={"dropout": rng}, deterministic=False,
+                )
+            return matpes_loss(outs, batch, w_energy, w_force, w_stress)
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params
+        )
+        metrics = dict(metrics)
+        metrics["loss"] = loss
+        return metrics, grads
+
+    step = make_dp_train_step_from_loss(
+        loss_grad, _apply_updates_factory(tx), mesh
+    )
+    return jax.jit(step, donate_argnums=(0,))

@@ -1,0 +1,230 @@
+"""Training harness: optimizer, train state, losses, EMA, NaN guard.
+
+TPU-native equivalent of the reference trainer family
+(models/train_qm9v3.py, train_oc20v2_parallel.py, train_MatPES_GATAWandB.py):
+
+* AdamW with weight-decay masking — biases / norm affines / embeddings /
+  alpha_dot excluded (reference ``add_weight_decay``
+  train_oc20v2_parallel.py:72-92 + model ``no_weight_decay`` sets);
+* grad-norm clipping (reference clip_grad_norm_(1.0));
+* warmup+cosine schedule per step;
+* NaN/Inf guard: ``optax.apply_if_finite`` skips the update exactly like the
+  reference's skip-batch guard (train_MatPES_GATAWandB.py:83-89) — no Python
+  control flow under jit;
+* EMA of params (reference hand-rolled ExponentialMovingAverage,
+  train_oc20v2_parallel.py:95-125);
+* losses for the three workloads, masked for padding.
+
+All train steps are pure functions (params, opt_state, batch) -> updates so
+they jit/pjit directly; the data-parallel wrapper lives in
+parallel/data_parallel.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+__all__ = [
+    "TrainState",
+    "make_optimizer",
+    "create_train_state",
+    "qm9_loss",
+    "oc20_loss",
+    "matpes_loss",
+    "make_qm9_train_step",
+    "make_matpes_train_step",
+    "ema_update",
+]
+
+
+class TrainState(NamedTuple):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    ema_params: Any
+
+
+def _wd_mask(params) -> Any:
+    """True where weight decay applies: >=2-D kernels named 'weight'/'kernel',
+    excluding embeddings and norm affines."""
+
+    def mask_fn(path, leaf):
+        names = [getattr(p, "key", str(p)) for p in path]
+        name = names[-1] if names else ""
+        joined = "/".join(str(n) for n in names).lower()
+        if leaf.ndim < 2:
+            return False
+        if "embed" in joined or "norm" in joined:
+            return False
+        return name in ("kernel", "weight")
+
+    return jax.tree_util.tree_map_with_path(mask_fn, params)
+
+
+def make_optimizer(
+    lr_schedule: Callable,
+    weight_decay: float = 0.0,
+    grad_clip: float = 1.0,
+    skip_nonfinite: bool = True,
+):
+    tx = optax.chain(
+        optax.clip_by_global_norm(grad_clip),
+        optax.adamw(
+            learning_rate=lr_schedule,
+            b1=0.9,
+            b2=0.999,
+            eps=1e-8,
+            weight_decay=weight_decay,
+            mask=_wd_mask if weight_decay > 0 else None,
+        ),
+    )
+    if skip_nonfinite:
+        # skip updates when grads are non-finite; give up the guard after
+        # 10^6 consecutive bad steps (diverged anyway)
+        tx = optax.apply_if_finite(tx, max_consecutive_errors=1_000_000)
+    return tx
+
+
+def create_train_state(params, tx) -> TrainState:
+    # ema starts as a *copy* — params and ema_params must not alias the same
+    # buffers or donation in jitted steps fails ("donate the same buffer twice")
+    ema = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), params)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=tx.init(params),
+        ema_params=ema,
+    )
+
+
+def ema_update(ema_params, params, decay: float = 0.999):
+    return jax.tree_util.tree_map(
+        lambda e, p: e * decay + p * (1.0 - decay), ema_params, params
+    )
+
+
+# ── losses ───────────────────────────────────────────────────────────────────
+
+
+def qm9_loss(pred, target, kind: str = "l1"):
+    """pred/target [B, T]; mean over batch and targets."""
+    d = pred - target
+    if kind == "l1":
+        return jnp.mean(jnp.abs(d))
+    return jnp.mean(d * d)
+
+
+def oc20_loss(energy_pred, energy_tgt, force_pred, force_tgt, node_mask,
+              w_energy: float = 2.0, w_force: float = 100.0):
+    """Reference train_oc20v2: E-MSE * 2 + F-L1 * 100, force masked mean."""
+    e = jnp.mean((energy_pred - energy_tgt) ** 2)
+    m = node_mask[:, None].astype(force_pred.dtype)
+    f = jnp.sum(jnp.abs(force_pred - force_tgt) * m) / jnp.maximum(
+        3.0 * jnp.sum(node_mask), 1.0
+    )
+    return w_energy * e + w_force * f, {"energy_mse": e, "force_l1": f}
+
+
+def matpes_loss(
+    outs,
+    batch,
+    w_energy: float = 1.0,
+    w_force: float = 1.0,
+    w_stress: float = 0.0,
+):
+    """Reference train_MatPES_GATAWandB.py:79-81: L1 on per-atom energy +
+    L1 on forces (+ L1 on stress)."""
+    e_pred = outs["energy"][:, 0]
+    e_tgt = batch["energy"]
+    e_l1 = jnp.mean(jnp.abs(e_pred - e_tgt))
+    m = batch["node_mask"][:, None].astype(e_pred.dtype)
+    f_l1 = jnp.sum(jnp.abs(outs["forces"] - batch["forces"]) * m) / jnp.maximum(
+        3.0 * jnp.sum(batch["node_mask"]), 1.0
+    )
+    loss = w_energy * e_l1 + w_force * f_l1
+    metrics = {"energy_l1": e_l1, "force_l1": f_l1}
+    if w_stress > 0.0 and "stress" in outs:
+        s_l1 = jnp.mean(jnp.abs(outs["stress"] - batch["stress"]))
+        loss = loss + w_stress * s_l1
+        metrics["stress_l1"] = s_l1
+    return loss, metrics
+
+
+# ── train steps ──────────────────────────────────────────────────────────────
+
+
+def make_qm9_train_step(model, tx, loss_kind: str = "l1", ema_decay=0.999):
+    """Single-device QM9 train step; pure, jit-ready, donate-friendly."""
+
+    def step(state: TrainState, batch, dropout_rng):
+        def loss_fn(params):
+            pred = model.apply(
+                params,
+                batch,
+                deterministic=False,
+                rngs={"dropout": dropout_rng},
+            )
+            return qm9_loss(pred, batch["y"], loss_kind)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            step=state.step + 1,
+            params=params,
+            opt_state=opt_state,
+            ema_params=ema_update(state.ema_params, params, ema_decay),
+        )
+        return new_state, {"loss": loss}
+
+    return step
+
+
+def make_matpes_train_step(
+    model,
+    tx,
+    w_energy: float = 1.0,
+    w_force: float = 1.0,
+    w_stress: float = 0.0,
+    ema_decay=0.999,
+):
+    from ..models.matpes import (
+        matpes_energy_forces_stress,
+        matpes_energy_forces_stress_pergraph,
+    )
+
+    def step(state: TrainState, batch, dropout_rng):
+        def loss_fn(params):
+            if w_stress > 0.0:
+                outs = matpes_energy_forces_stress_pergraph(
+                    model, params, batch,
+                    rngs={"dropout": dropout_rng}, deterministic=False,
+                )
+            else:
+                outs = matpes_energy_forces_stress(
+                    model, params, batch, regress_stress=False,
+                    rngs={"dropout": dropout_rng}, deterministic=False,
+                )
+            return matpes_loss(outs, batch, w_energy, w_force, w_stress)
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            step=state.step + 1,
+            params=params,
+            opt_state=opt_state,
+            ema_params=ema_update(state.ema_params, params, ema_decay),
+        )
+        metrics = dict(metrics)
+        metrics["loss"] = loss
+        return new_state, metrics
+
+    return step
