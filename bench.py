@@ -1,0 +1,101 @@
+"""Benchmark: flagship MatPES GATA-V2 training step throughput on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The reference repo records no throughput numbers anywhere (BASELINE.md) —
+``vs_baseline`` is computed against a fixed nominal anchor of 25 graphs/sec
+for the reference PyTorch trainer on its actual hardware (single A100,
+models/Run_model_MatPESnota100_continue.sh), estimated from the model size
+(~10M params @ 6 layers, lmax4/mmax2, ~30-atom cells, autograd forces) — so
+the number is comparable across rounds.
+"""
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_ANCHOR_GRAPHS_PER_SEC = 25.0
+
+# benchmark shape: realistic MatPES training batch on one v5e chip
+N_GRAPHS = 16
+ATOMS_PER_GRAPH = 30
+N_PAD = 512
+E_PAD = 12288
+STEPS = 10
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _synthetic_batch
+    from equivarianttransformermpnn4quantumcomputations_tpu.models.matpes import (
+        EquiformerV2MatPES,
+    )
+    from equivarianttransformermpnn4quantumcomputations_tpu.train.schedules import (
+        warmup_cosine,
+    )
+    from equivarianttransformermpnn4quantumcomputations_tpu.train.trainer import (
+        create_train_state,
+        make_matpes_train_step,
+        make_optimizer,
+    )
+
+    model = EquiformerV2MatPES(  # reference MatPES GATA config (GATAV2)
+        num_layers=6,
+        sphere_channels=128,
+        attn_hidden_channels=128,
+        num_heads=8,
+        attn_alpha_channels=32,
+        attn_value_channels=16,
+        ffn_hidden_channels=512,
+        lmax=4,
+        mmax=2,
+        grid_resolution=18,
+        edge_channels=128,
+        num_rbf=600,
+        max_num_elements=100,
+        gata=True,
+        alpha_drop=0.0,
+        drop_path_rate=0.0,
+    )
+
+    rng = np.random.default_rng(0)
+    raw = _synthetic_batch(
+        rng, N_GRAPHS, ATOMS_PER_GRAPH, N_PAD, E_PAD, max_neighbors=20
+    )
+    batch = {k: jnp.asarray(v) for k, v in raw.items()}
+
+    params = model.init(jax.random.PRNGKey(0), batch)
+    tx = make_optimizer(warmup_cosine(2e-4, 100, 10000), weight_decay=1e-3)
+    state = create_train_state(params, tx)
+    step = jax.jit(make_matpes_train_step(model, tx), donate_argnums=(0,))
+
+    key = jax.random.PRNGKey(1)
+    # compile + warmup
+    state, metrics = step(state, batch, key)
+    jax.block_until_ready(metrics["loss"])
+    t0 = time.perf_counter()
+    for i in range(STEPS):
+        state, metrics = step(state, batch, jax.random.fold_in(key, i))
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    graphs_per_sec = N_GRAPHS * STEPS / dt
+    print(
+        json.dumps(
+            {
+                "metric": "matpes_gata_train_graphs_per_sec_per_chip",
+                "value": round(graphs_per_sec, 2),
+                "unit": "graphs/sec/chip",
+                "vs_baseline": round(
+                    graphs_per_sec / REFERENCE_ANCHOR_GRAPHS_PER_SEC, 3
+                ),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,79 @@
+"""MatPES training configs (mirrors configs/MatPES/*.py dicts, e.g.
+config_cosinelearningMoreGATA.py — GATA-V2 model + cosine schedule;
+literature anchors per the reference: TensorNet/M3GNet-class models reach
+energy ~3-5 meV/atom, force ~50-80 meV/A, stress ~0.3-0.6 GPa)."""
+
+config = {
+    # data
+    "data_path": "datasets/MatPES/MatPES-PBE-2025.1.json.gz",
+    "split_path": "datasets/MatPES/MatPES-PBE-split.json.gz",
+    "cache_dir": "datasets/MatPES/cache",
+    "batch_size": 32,
+    "max_train": None,
+    "max_val": None,
+    "max_test": None,
+    # model (reference equiformerv2_MatPES_GATAV2.py defaults)
+    "gata": True,
+    "num_layers": 6,
+    "sphere_channels": 128,
+    "attn_hidden_channels": 128,
+    "num_heads": 8,
+    "attn_alpha_channels": 32,
+    "attn_value_channels": 16,
+    "ffn_hidden_channels": 512,
+    "lmax": 4,
+    "mmax": 2,
+    "grid_resolution": 18,
+    "edge_channels": 128,
+    "num_rbf": 600,
+    "max_num_elements": 100,
+    "cutoff": 6.0,
+    "max_neighbors": 20,
+    "alpha_drop": 0.05,
+    "drop_path_rate": 0.05,
+    "avg_degree": 12.0,
+    "normalize_attn_output": True,
+    "use_phi_every_layer": False,
+    # loss weights (reference train_MatPES_GATAWandB.py:79-81)
+    "w_energy": 1.0,
+    "w_force": 1.0,
+    "w_stress": 0.0,
+    "regress_stress": False,
+    # optimization
+    "lr": 2e-4,
+    "weight_decay": 1e-3,
+    "epochs": 100,
+    "warmup_epochs": 1,
+    "grad_clip": 1.0,
+    "ema_decay": 0.999,
+    # run
+    "run_dir": "runs/matpes_gata",
+    "seed": 0,
+    "log_every": 50,
+    "ckpt_every_epochs": 1,
+    "use_wandb": False,
+}
+
+config_debug = {
+    **config,
+    "max_train": 256,
+    "max_val": 64,
+    "max_test": 64,
+    "epochs": 2,
+    "num_layers": 2,
+    "batch_size": 8,
+    "run_dir": "runs/matpes_debug",
+}
+
+# ablation: no attention-output normalization
+# (reference equiformerv2_MatPES_GATAV2_no_normalize_attn_output.py)
+config_no_attn_norm = {**config, "normalize_attn_output": False}
+
+# phi refined at every layer
+# (reference equiformerv2_MatPES_GATAV2_phi_at_every_iteration_like_gata.py)
+config_phi_every_layer = {**config, "use_phi_every_layer": True}
+
+# baseline (non-GATA) EquiformerV2 on MatPES
+# (reference equiformerv2_MatPES.py / train_MatPES_originalEFV2_WandB.py)
+config_baseline_efv2 = {**config, "gata": False, "regress_stress": True,
+                        "w_stress": 0.1}

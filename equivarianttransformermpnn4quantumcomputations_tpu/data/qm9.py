@@ -1,0 +1,159 @@
+"""QM9 dataset: ASE-db reader, paper-order targets, z-score normalization.
+
+Re-design of reference models/data_loader_qm9_v4.py:
+* 12 targets reordered to PAPER ORDER with eV->meV conversion on the energy
+  targets (reference :196-211);
+* z-score normalization from the stats JSON
+  (datasets/QM9/DatasetStastics/run_stats_corrected/qm9_full_stats.json,
+  reference :47-98), std==0 guarded to 1;
+* target-subset selection (reference :216-222);
+* 80/10/10 random split with seed 42 (reference :283-287; we use a numpy
+  permutation — same protocol, not bitwise torch-identical);
+* ``denormalize_targets`` (reference :323-340).
+
+ASE is an optional dependency: import is gated so the rest of the framework
+works without it (tests use synthetic molecules).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Sequence
+
+import numpy as np
+
+from .graph import GraphSample
+
+__all__ = [
+    "PROPERTY_ORDER",
+    "load_qm9_stats",
+    "QM9Dataset",
+    "qm9_random_split",
+    "denormalize_targets",
+]
+
+# paper order (reference data_loader_qm9_v4.py:44-45)
+PROPERTY_ORDER = [
+    "α", "Δε", "ε_HOMO", "ε_LUMO", "μ", "C_v",
+    "G", "H", "R²", "U", "U₀", "ZPVE",
+]
+
+EV_TO_MEV = 1000.0
+
+
+def load_qm9_stats(json_path: str):
+    """Return (mean [12], std [12]) float32 in paper order from the stats JSON."""
+    with open(json_path) as f:
+        j = json.load(f)
+    stats = j.get("stats", j)
+    means, stds = [], []
+    for name in PROPERTY_ORDER:
+        entry = stats.get(name)
+        if entry is None:
+            for k in stats:
+                if str(k).replace(" ", "") == name.replace(" ", ""):
+                    entry = stats[k]
+                    break
+        if entry is None:
+            raise KeyError(f"property {name} missing from {json_path}")
+        means.append(float(entry["mean"]))
+        stds.append(float(entry["std"]))
+    mean = np.asarray(means, np.float32)
+    std = np.asarray(stds, np.float32)
+    std[std == 0.0] = 1.0
+    return mean, std
+
+
+class QM9Dataset:
+    """ASE-db backed QM9 dataset yielding GraphSamples (paper units/order)."""
+
+    def __init__(
+        self,
+        db_path: str,
+        stats_json: str | None = None,
+        max_samples: int | None = None,
+        normalize: bool = True,
+        target_indices: Sequence[int] | None = None,
+    ):
+        from ase.db import connect  # gated import
+
+        self.db = connect(db_path)
+        n = self.db.count()
+        self.keys = list(range(1, n + 1))
+        if max_samples is not None:
+            self.keys = self.keys[:max_samples]
+        self.normalize = normalize
+        self.target_indices = (
+            np.asarray(target_indices) if target_indices is not None else None
+        )
+        if stats_json is None:
+            stats_json = os.path.join(
+                os.path.dirname(db_path), "qm9_full_stats.json"
+            )
+        if normalize:
+            self.mean, self.std = load_qm9_stats(stats_json)
+        else:
+            self.mean = np.zeros(12, np.float32)
+            self.std = np.ones(12, np.float32)
+
+    def __len__(self):
+        return len(self.keys)
+
+    def __getitem__(self, idx: int) -> GraphSample:
+        row = self.db.get(id=self.keys[idx])
+        atoms = row.toatoms()
+        d = row.data
+        # PyG QM9 raw units -> paper units, paper order (reference :196-211)
+        targets = np.asarray(
+            [
+                d["alpha"],
+                d["gap"] * EV_TO_MEV,
+                d["homo"] * EV_TO_MEV,
+                d["lumo"] * EV_TO_MEV,
+                d["mu"],
+                d["Cv"],
+                d["G"] * EV_TO_MEV,
+                d["H"] * EV_TO_MEV,
+                d["r2"],
+                d["U"] * EV_TO_MEV,
+                d["U0"] * EV_TO_MEV,
+                d["zpve"] * EV_TO_MEV,
+            ],
+            dtype=np.float32,
+        )
+        if self.target_indices is not None:
+            targets = targets[self.target_indices]
+            mean = self.mean[self.target_indices]
+            std = self.std[self.target_indices]
+        else:
+            mean, std = self.mean, self.std
+        if self.normalize:
+            targets = (targets - mean) / std
+        return GraphSample(
+            atomic_numbers=np.asarray(atoms.numbers, np.int32),
+            pos=np.asarray(atoms.positions, np.float32),
+            y=targets,
+        )
+
+
+def qm9_random_split(
+    n: int, val_split: float = 0.1, test_split: float = 0.1, seed: int = 42
+):
+    """Index split matching the reference protocol (reference :278-287)."""
+    n_val = int(val_split * n)
+    n_test = int(test_split * n)
+    n_train = n - n_val - n_test
+    perm = np.random.default_rng(seed).permutation(n)
+    return (
+        perm[:n_train],
+        perm[n_train : n_train + n_val],
+        perm[n_train + n_val :],
+    )
+
+
+def denormalize_targets(y_norm, mean, std, target_indices=None):
+    if target_indices is not None:
+        mean = mean[np.asarray(target_indices)]
+        std = std[np.asarray(target_indices)]
+    return y_norm * std + mean

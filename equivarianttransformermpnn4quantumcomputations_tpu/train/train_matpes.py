@@ -1,0 +1,209 @@
+"""MatPES training CLI — counterpart of reference train_MatPES_GATAWandB.py.
+
+Covers the reference trainer family in one script via --config:
+    default          GATA-V2 + HTR (train_MatPES_GATAWandB.py)
+    baseline         original EFv2 w/ stress (train_MatPES_originalEFV2_WandB.py)
+    no-attn-norm     ablation (train_MatPES_GATAWandB_no_norm_of_atten_output.py)
+    phi-every-layer  (train_MatPES*phi_at_every_iteration*)
+    debug            tiny fast run
+
+Resume: --checkpoint <name-in-run-dir> (train_MatPES_GATAWandB_from_checkpoint.py).
+NaN guard, EMA, SIGTERM emergency checkpoint, W&B-or-CSV logging included.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+
+def evaluate(model, params, loader, energy_std: float):
+    """Energy MAE (meV/atom) and force MAE (meV/A), denormalized
+    (reference test_MatPES.py:89-152: MAE * std * 1000)."""
+    import jax.numpy as jnp
+
+    from ..models.matpes import matpes_energy_forces_stress
+
+    e_err = f_err = 0.0
+    e_cnt = f_cnt = 0
+    for pb in loader:
+        batch = {k: jnp.asarray(v) for k, v in pb.asdict().items()}
+        outs = matpes_energy_forces_stress(model, params, batch)
+        e_pred = np.asarray(outs["energy"][:, 0])
+        e_tgt = np.asarray(batch["energy"])
+        e_err += np.abs(e_pred - e_tgt).sum()
+        e_cnt += e_pred.shape[0]
+        m = np.asarray(batch["node_mask"])
+        f_pred = np.asarray(outs["forces"])[m]
+        f_tgt = np.asarray(batch["forces"])[m]
+        f_err += np.abs(f_pred - f_tgt).sum()
+        f_cnt += f_pred.size
+    e_mae_mev = e_err / max(e_cnt, 1) * energy_std * 1000.0
+    f_mae_mev = f_err / max(f_cnt, 1) * energy_std * 1000.0
+    return e_mae_mev, f_mae_mev
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", default="default")
+    parser.add_argument("--checkpoint", default=None)
+    parser.add_argument("--epochs", type=int, default=None)
+    args = parser.parse_args(argv)
+
+    from ..configs import matpes as mp_cfg
+
+    cfg = {
+        "default": mp_cfg.config,
+        "debug": mp_cfg.config_debug,
+        "no-attn-norm": mp_cfg.config_no_attn_norm,
+        "phi-every-layer": mp_cfg.config_phi_every_layer,
+        "baseline": mp_cfg.config_baseline_efv2,
+    }[args.config].copy()
+    if args.epochs is not None:
+        cfg["epochs"] = args.epochs
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..data.loader import PaddedLoader, infer_pad_sizes
+    from ..data.matpes import load_matpes
+    from ..models.matpes import EquiformerV2MatPES
+    from ..utils.logging import RunLogger
+    from .checkpoint import CheckpointManager, install_sigterm_checkpoint
+    from .schedules import warmup_cosine
+    from .trainer import create_train_state, make_matpes_train_step, make_optimizer
+
+    train_ds, val_ds, test_ds, stats = load_matpes(
+        cfg["data_path"],
+        cfg.get("split_path"),
+        cfg.get("cache_dir"),
+        cfg.get("max_train"),
+        cfg.get("max_val"),
+        cfg.get("max_test"),
+    )
+    n_pad, e_pad = infer_pad_sizes(
+        train_ds, cfg["cutoff"], cfg["max_neighbors"], cfg["batch_size"]
+    )
+    mk = lambda ds, shuf: PaddedLoader(
+        ds, cfg["batch_size"], cfg["cutoff"], cfg["max_neighbors"],
+        n_pad, e_pad, shuffle=shuf, seed=cfg["seed"],
+    )
+    train_loader, val_loader = mk(train_ds, True), mk(val_ds, False)
+
+    model = EquiformerV2MatPES(
+        num_layers=cfg["num_layers"],
+        sphere_channels=cfg["sphere_channels"],
+        attn_hidden_channels=cfg["attn_hidden_channels"],
+        num_heads=cfg["num_heads"],
+        attn_alpha_channels=cfg["attn_alpha_channels"],
+        attn_value_channels=cfg["attn_value_channels"],
+        ffn_hidden_channels=cfg["ffn_hidden_channels"],
+        lmax=cfg["lmax"],
+        mmax=cfg["mmax"],
+        grid_resolution=cfg["grid_resolution"],
+        edge_channels=cfg["edge_channels"],
+        num_rbf=cfg["num_rbf"],
+        max_num_elements=cfg["max_num_elements"],
+        cutoff=cfg["cutoff"],
+        alpha_drop=cfg["alpha_drop"],
+        drop_path_rate=cfg["drop_path_rate"],
+        avg_degree=cfg["avg_degree"],
+        gata=cfg["gata"],
+        normalize_attn_output=cfg.get("normalize_attn_output", True),
+        use_phi_every_layer=cfg.get("use_phi_every_layer", False),
+    )
+
+    steps_per_epoch = max(len(train_loader), 1)
+    sched = warmup_cosine(
+        cfg["lr"],
+        cfg["warmup_epochs"] * steps_per_epoch,
+        cfg["epochs"] * steps_per_epoch,
+    )
+    tx = make_optimizer(sched, cfg["weight_decay"], cfg["grad_clip"])
+
+    rng = jax.random.PRNGKey(cfg["seed"])
+    first = next(iter(mk(val_ds, False)))
+    fb = {k: jnp.asarray(v) for k, v in first.asdict().items()}
+    params = model.init(rng, fb)
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    print(f"model params: {n_params/1e6:.2f}M  pads: n={n_pad} e={e_pad}")
+
+    state = create_train_state(params, tx)
+    ckpt = CheckpointManager(cfg["run_dir"], {**cfg, **stats})
+    if args.checkpoint:
+        state, meta = ckpt.restore(args.checkpoint, state)
+        print(f"resumed from {args.checkpoint}: epoch {meta.get('epoch')}")
+    logger = RunLogger(cfg["run_dir"], cfg, use_wandb=cfg.get("use_wandb", False))
+    latest = {"state": state}
+    install_sigterm_checkpoint(lambda: latest["state"], ckpt)
+
+    step_fn = jax.jit(
+        make_matpes_train_step(
+            model, tx, cfg["w_energy"], cfg["w_force"],
+            cfg["w_stress"] if cfg.get("regress_stress") else 0.0,
+            cfg["ema_decay"],
+        ),
+        donate_argnums=(0,),
+    )
+
+    best_val = np.inf
+    step_count = 0
+    nan_batches = 0
+    for epoch in range(cfg["epochs"]):
+        train_loader.set_epoch(epoch)
+        t0 = time.time()
+        losses = []
+        for pb in train_loader:
+            batch = {k: jnp.asarray(v) for k, v in pb.asdict().items()}
+            rng, sub = jax.random.split(rng)
+            state, metrics = step_fn(state, batch, sub)
+            loss = float(metrics["loss"])
+            if not np.isfinite(loss):
+                nan_batches += 1  # update was skipped by apply_if_finite
+            else:
+                losses.append(loss)
+            latest["state"] = state
+            step_count += 1
+            if step_count % cfg["log_every"] == 0:
+                logger.log_step(
+                    step_count,
+                    {
+                        "train/loss": loss,
+                        "train/energy_l1": float(metrics["energy_l1"]),
+                        "train/force_l1": float(metrics["force_l1"]),
+                    },
+                )
+        e_mae, f_mae = evaluate(
+            model, state.ema_params, val_loader, stats["energy_std"]
+        )
+        dt = time.time() - t0
+        print(
+            f"epoch {epoch}: loss={np.mean(losses):.4f} "
+            f"E={e_mae:.1f} meV/atom F={f_mae:.1f} meV/A "
+            f"nan_skipped={nan_batches} ({dt:.1f}s)"
+        )
+        logger.log_epoch(
+            epoch,
+            {
+                "train_loss": float(np.mean(losses)) if losses else float("nan"),
+                "val_energy_mae_mev": e_mae,
+                "val_force_mae_mev": f_mae,
+                "nan_batches": nan_batches,
+                "sec": dt,
+            },
+        )
+        score = e_mae + f_mae
+        if score < best_val:
+            best_val = score
+            ckpt.save_best(state, {"epoch": epoch, "val_score": score})
+        if (epoch + 1) % cfg["ckpt_every_epochs"] == 0:
+            ckpt.save_periodic(epoch, state, {"val_score": score})
+
+    logger.update_metrics(best_val_score=best_val, num_params=n_params)
+    logger.finalize()
+
+
+if __name__ == "__main__":
+    main()
