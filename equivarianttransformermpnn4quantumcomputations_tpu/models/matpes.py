@@ -60,6 +60,13 @@ class EquiformerV2MatPES(nn.Module):
     gata: bool = True
     normalize_attn_output: bool = True
     use_phi_every_layer: bool = False
+    # global all-to-all attention applied after the final norm, before the
+    # energy head (reference equiformerv2_MatPESv2_all2all.py:181,
+    # ...GLOBALALLATTENTION...py:231, ...HTR...DISTANCE.py:232-237,404-407):
+    # None | 'scalar' | 'full' | 'full_equivariant' | 'htr' | 'htr_distance'
+    # | 'htr_rope'
+    global_attn: str | None = None
+    global_attn_heads: int = 8
     compute_dtype: str = "float32"
 
     @nn.compact
@@ -111,6 +118,49 @@ class EquiformerV2MatPES(nn.Module):
             deterministic=deterministic,
         )
 
+        x = out.x
+        if self.global_attn is not None:
+            from ..nn.global_attn import (
+                GlobalFullAttention,
+                GlobalFullEquivariantAttention,
+                GlobalHTRAttention,
+                GlobalScalarAttention,
+            )
+
+            gm, nm = batch["graph_idx"], batch["node_mask"]
+            if self.global_attn == "scalar":
+                scal = GlobalScalarAttention(
+                    d_model=self.sphere_channels,
+                    num_heads=self.global_attn_heads,
+                    name="global_attn",
+                )(x[:, 0, :], gm, nm, pos, deterministic=deterministic)
+                x = jnp.concatenate([scal[:, None, :], x[:, 1:, :]], axis=1)
+            elif self.global_attn == "full":
+                x = GlobalFullAttention(
+                    d_model=self.sphere_channels,
+                    num_coeffs=(self.lmax + 1) ** 2,
+                    num_heads=self.global_attn_heads,
+                    name="global_attn",
+                )(x, gm, nm, pos, deterministic=deterministic)
+            elif self.global_attn == "full_equivariant":
+                x = GlobalFullEquivariantAttention(
+                    sphere_channels=self.sphere_channels,
+                    lmax=self.lmax,
+                    num_heads=self.global_attn_heads,
+                    name="global_attn",
+                )(x, gm, nm, deterministic=deterministic)
+            elif self.global_attn in ("htr", "htr_distance", "htr_rope"):
+                x = GlobalHTRAttention(
+                    sphere_channels=self.sphere_channels,
+                    lmax=self.lmax,
+                    num_heads=self.global_attn_heads,
+                    use_distance=(self.global_attn == "htr_distance"),
+                    use_rope=(self.global_attn == "htr_rope"),
+                    name="global_attn",
+                )(x, gm, nm, pos, deterministic=deterministic)
+            else:
+                raise ValueError(self.global_attn)
+
         grid_full = s2grid(self.lmax, self.lmax, self.grid_resolution)
         node_energy = FeedForward(
             sphere_channels=self.sphere_channels,
@@ -122,7 +172,7 @@ class EquiformerV2MatPES(nn.Module):
             use_grid_mlp=self.use_grid_mlp,
             use_sep_s2_act=self.use_sep_s2_act,
             name="energy_block",
-        )(out.x)[:, 0, 0]
+        )(x)[:, 0, 0]
 
         num_graphs = batch["cell"].shape[0]
         energy_total = segment_sum(

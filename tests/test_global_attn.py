@@ -1,0 +1,103 @@
+"""Global attention variants: smoke, cross-graph isolation, invariance."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from equivarianttransformermpnn4quantumcomputations_tpu.data.graph import (
+    GraphSample,
+    collate,
+)
+from equivarianttransformermpnn4quantumcomputations_tpu.models.matpes import (
+    EquiformerV2MatPES,
+)
+
+TINY = dict(
+    num_layers=1,
+    sphere_channels=16,
+    attn_hidden_channels=16,
+    num_heads=2,
+    attn_alpha_channels=4,
+    attn_value_channels=4,
+    ffn_hidden_channels=16,
+    lmax=2,
+    mmax=1,
+    grid_resolution=None,
+    edge_channels=16,
+    num_rbf=32,
+    max_num_elements=20,
+    cutoff=5.0,
+    alpha_drop=0.0,
+    drop_path_rate=0.0,
+    gata=False,
+    global_attn_heads=2,
+)
+
+VARIANTS = ["scalar", "full", "full_equivariant", "htr", "htr_distance", "htr_rope"]
+
+
+def mol(rng, n=5, shift=0.0):
+    return GraphSample(
+        atomic_numbers=rng.integers(1, 15, size=n).astype(np.int32),
+        pos=(rng.normal(size=(n, 3)) * 1.5 + shift).astype(np.float32),
+        energy=0.0,
+        forces=np.zeros((n, 3), np.float32),
+    )
+
+
+def to_jnp(pb):
+    return {k: jnp.asarray(v) for k, v in pb.asdict().items()}
+
+
+@pytest.mark.parametrize("variant", VARIANTS)
+def test_global_attn_smoke(variant):
+    rng = np.random.default_rng(0)
+    b = to_jnp(collate([mol(rng), mol(rng)], 5.0, 20, n_pad=12, e_pad=64))
+    model = EquiformerV2MatPES(**TINY, global_attn=variant)
+    params = model.init(jax.random.PRNGKey(0), b)
+    out = model.apply(params, b)
+    assert np.isfinite(np.asarray(out["energy_total"])).all()
+
+
+def test_cross_graph_isolation():
+    """Graph 0's energy must not depend on graph 1's contents."""
+    rng = np.random.default_rng(1)
+    g0 = mol(rng)
+    g1a = mol(rng)
+    g1b = mol(rng, shift=3.0)
+    model = EquiformerV2MatPES(**TINY, global_attn="scalar")
+    ba = to_jnp(collate([g0, g1a], 5.0, 20, n_pad=12, e_pad=64))
+    params = model.init(jax.random.PRNGKey(0), ba)
+    ea = np.asarray(model.apply(params, ba)["energy_total"])
+    bb = to_jnp(collate([g0, g1b], 5.0, 20, n_pad=12, e_pad=64))
+    eb = np.asarray(model.apply(params, bb)["energy_total"])
+    assert np.allclose(ea[0], eb[0], atol=1e-4), (ea, eb)
+    assert not np.allclose(ea[1], eb[1], atol=1e-4)
+
+
+def test_scalar_global_attn_invariance():
+    """Scalar global attention (RoPE uses distances only): energy invariant
+    under rotation with gate activations."""
+    rng = np.random.default_rng(2)
+    g = mol(rng, n=6)
+    model = EquiformerV2MatPES(
+        **{**TINY, "use_gate_act": True, "use_sep_s2_act": False},
+        global_attn="scalar",
+    )
+    b1 = to_jnp(collate([g], 5.0, 20, n_pad=8, e_pad=48))
+    params = model.init(jax.random.PRNGKey(0), b1)
+    e1 = np.asarray(model.apply(params, b1)["energy_total"])
+
+    from test_ops import rotmat_zyz
+
+    Rm = rotmat_zyz(0.4, 1.3, -0.8).astype(np.float32)
+    g2 = GraphSample(
+        atomic_numbers=g.atomic_numbers,
+        pos=g.pos @ Rm.T,
+        energy=0.0,
+        forces=np.zeros((6, 3), np.float32),
+    )
+    b2 = to_jnp(collate([g2], 5.0, 20, n_pad=8, e_pad=48))
+    e2 = np.asarray(model.apply(params, b2)["energy_total"])
+    assert np.abs(e1 - e2).max() < 5e-4, (e1, e2)
