@@ -86,6 +86,10 @@ class EquiformerV2Backbone(nn.Module):
     gata: bool = False
     normalize_attn_output: bool = True
     use_phi_every_layer: bool = False
+    # FFN variant + dual (angular) edge stream
+    ffn_variant: str = "standard"
+    num_experts: int = 4
+    dual_stream: bool = False
     # compute dtype for the block stack ("float32" | "bfloat16")
     compute_dtype: str = "float32"
 
@@ -172,6 +176,7 @@ class EquiformerV2Backbone(nn.Module):
         # ── GATA streams ──────────────────────────────────────────────────
         t_ij = None
         rl_ij = None
+        a_ij = None
         if self.gata:
             # edge SH in the global frame, l >= 1, 'norm' normalization,
             # detached (reference equiformerv2_MatPES_GATAV2.py:232-241)
@@ -184,6 +189,13 @@ class EquiformerV2Backbone(nn.Module):
                 h[edge_src] + h[edge_dst]
             )
             t_ij = h_sum * Dense(self.edge_channels, name="W_erp")(phi_r)
+            if self.dual_stream:
+                # angular stream init: same construction as t_ij with its own
+                # projections (the reference's dual-stream fork is not wired
+                # into a committed model file; this mirrors the t_ij recipe)
+                a_ij = Dense(self.edge_channels, name="a_h_proj")(
+                    h[edge_src] + h[edge_dst]
+                ) * Dense(self.edge_channels, name="a_W_erp")(phi_r)
 
         # ── transformer blocks ────────────────────────────────────────────
         x = x.astype(cdt)
@@ -217,6 +229,9 @@ class EquiformerV2Backbone(nn.Module):
                 normalize_attn_output=self.normalize_attn_output,
                 use_phi_every_layer=self.use_phi_every_layer,
                 num_rbf=self.num_rbf,
+                ffn_variant=self.ffn_variant,
+                num_experts=self.num_experts,
+                dual_stream=self.dual_stream,
                 name=f"block_{i}",
             )
             out = block(
@@ -232,9 +247,12 @@ class EquiformerV2Backbone(nn.Module):
                 t_ij=t_ij,
                 rl_ij=rl_ij,
                 phi_r=phi_r.astype(cdt) if self.use_phi_every_layer else None,
+                a_ij=a_ij,
                 deterministic=deterministic,
             )
-            if self.gata:
+            if self.gata and self.dual_stream:
+                x, t_ij, a_ij = out
+            elif self.gata:
                 x, t_ij = out
             else:
                 x = out

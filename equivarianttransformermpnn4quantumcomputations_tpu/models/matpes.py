@@ -67,6 +67,10 @@ class EquiformerV2MatPES(nn.Module):
     # | 'htr_rope'
     global_attn: str | None = None
     global_attn_heads: int = 8
+    # FFN variants (MoE / dual-stream forks)
+    ffn_variant: str = "standard"
+    num_experts: int = 4
+    dual_stream: bool = False
     compute_dtype: str = "float32"
 
     @nn.compact
@@ -104,6 +108,9 @@ class EquiformerV2MatPES(nn.Module):
             gata=self.gata,
             normalize_attn_output=self.normalize_attn_output,
             use_phi_every_layer=self.use_phi_every_layer,
+            ffn_variant=self.ffn_variant,
+            num_experts=self.num_experts,
+            dual_stream=self.dual_stream,
             compute_dtype=self.compute_dtype,
             name="backbone",
         )(

@@ -90,6 +90,12 @@ class TransBlock(nn.Module):
     normalize_attn_output: bool = True
     use_phi_every_layer: bool = False
     num_rbf: int = 0
+    # FFN variant: 'standard' | 'moe' | 'moe_breaking' | 'tensor_product'
+    # (reference GATA_and_all2all_MoE / _Dual_Stream forks)
+    ffn_variant: str = "standard"
+    num_experts: int = 4
+    # dual-stream: thread a second (angular) edge stream through the block
+    dual_stream: bool = False
 
     @nn.compact
     def __call__(
@@ -106,6 +112,7 @@ class TransBlock(nn.Module):
         t_ij=None,
         rl_ij=None,
         phi_r=None,
+        a_ij=None,
         deterministic: bool = True,
     ):
         lmax = self.layout_full.lmax
@@ -121,6 +128,15 @@ class TransBlock(nn.Module):
                 lmax=lmax,
                 name="htr",
             )(t_ij, X_i, X_j, rl_ij)
+            if self.dual_stream:
+                from .dual_stream import AngularHTR
+
+                a_ij = AngularHTR(
+                    sphere_channels=self.sphere_channels,
+                    edge_channels=self.edge_channels,
+                    lmax=lmax,
+                    name="angular_htr",
+                )(a_ij, t_ij, x, edge_src, edge_dst, edge_mask)
 
         drop_path = GraphDropPath(self.drop_path_rate)
         proj_drop = EquivariantDropout(self.proj_drop)
@@ -174,17 +190,41 @@ class TransBlock(nn.Module):
         h = get_normalization_layer(
             self.norm_type, lmax, self.sphere_channels
         )(x)
-        h = FeedForward(
-            sphere_channels=self.sphere_channels,
-            hidden_channels=self.ffn_hidden_channels,
-            output_channels=self.output_channels,
-            lmax=lmax,
-            grid_full=self.grid_full,
-            use_gate_act=self.use_gate_act,
-            use_grid_mlp=self.use_grid_mlp,
-            use_sep_s2_act=self.use_sep_s2_act,
-            name="ffn",
-        )(h)
+        if self.ffn_variant in ("moe", "moe_breaking"):
+            from .moe import MoEHTRFeedForward
+
+            h, entropy = MoEHTRFeedForward(
+                sphere_channels=self.sphere_channels,
+                hidden_channels=self.ffn_hidden_channels,
+                edge_channels=self.edge_channels,
+                lmax=lmax,
+                num_experts=self.num_experts,
+                breaking_equivariance=(self.ffn_variant == "moe_breaking"),
+                name="ffn",
+            )(h, t_ij, edge_dst, edge_mask)
+            self.sow("intermediates", "routing_entropy", entropy)
+        elif self.ffn_variant == "tensor_product":
+            from .dual_stream import TensorProductFFN
+
+            h = TensorProductFFN(
+                sphere_channels=self.sphere_channels,
+                hidden_channels=self.ffn_hidden_channels,
+                edge_channels=self.edge_channels,
+                lmax=lmax,
+                name="ffn",
+            )(h, t_ij, a_ij if a_ij is not None else t_ij, edge_dst, edge_mask)
+        else:
+            h = FeedForward(
+                sphere_channels=self.sphere_channels,
+                hidden_channels=self.ffn_hidden_channels,
+                output_channels=self.output_channels,
+                lmax=lmax,
+                grid_full=self.grid_full,
+                use_gate_act=self.use_gate_act,
+                use_grid_mlp=self.use_grid_mlp,
+                use_sep_s2_act=self.use_sep_s2_act,
+                name="ffn",
+            )(h)
         h = drop_path(h, graph_idx, num_graphs, deterministic)
         h = proj_drop(h, deterministic)
 
@@ -197,6 +237,8 @@ class TransBlock(nn.Module):
             )(res)
         x = h + res
 
+        if self.gata and self.dual_stream:
+            return x, t_ij, a_ij
         if self.gata:
             return x, t_ij
         return x

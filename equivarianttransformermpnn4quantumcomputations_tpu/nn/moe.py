@@ -1,0 +1,117 @@
+"""Mixture-of-Experts FFN gated by the HTR edge context (MoE variant).
+
+Re-designs of reference models/NewFunctions/GATA_and_all2all_MoE/
+transformer_block.py:375-634 and the ..._BREAKING_EQUIVARIANCE fork
+(:569-604, :978-1026):
+* EquivariantExpertFFN: linear -> per-degree invariant context gates from c_i
+  (SiLU on l=0 only) -> linear;
+* NonEquivariantExpertFFN: SiLU applied to ALL coefficients (deliberate
+  equivariance violation, ablation-only);
+* MoEHTRFeedForward: soft softmax routing over K experts from c_i = mean of
+  HTR-refined t_ij over incoming edges; routing entropy returned for
+  utilization monitoring (reference :610-617).
+
+Note on parallelism: this is a *dense* soft mixture — every expert runs on
+every atom (reference semantics; SURVEY §2.6).  Expert-parallel sharding over
+a mesh axis is a natural TPU extension since the expert einsum batches over
+K, but is not required for parity.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.segment import segment_mean
+from .layers import Dense
+
+__all__ = ["EquivariantExpertFFN", "NonEquivariantExpertFFN", "MoEHTRFeedForward"]
+
+
+class EquivariantExpertFFN(nn.Module):
+    sphere_channels: int
+    hidden_channels: int
+    edge_channels: int
+    lmax: int
+
+    @nn.compact
+    def __call__(self, x, c_i):
+        """x: [N, K, C]; c_i: [N, edge_C] -> [N, K, C]."""
+        h = Dense(self.hidden_channels, use_bias=False, name="linear_1")(x)
+        gates = jax.nn.silu(
+            Dense(
+                self.hidden_channels * (self.lmax + 1), name="gate_proj"
+            )(c_i)
+        )
+        out = []
+        for l in range(self.lmax + 1):
+            hl = h[:, l * l : l * l + 2 * l + 1, :]
+            g = gates[:, l * self.hidden_channels : (l + 1) * self.hidden_channels]
+            if l == 0:
+                out.append(jax.nn.silu(hl) * g[:, None, :])
+            else:
+                out.append(hl * g[:, None, :])
+        h = jnp.concatenate(out, axis=1)
+        return Dense(self.sphere_channels, use_bias=False, name="linear_2")(h)
+
+
+class NonEquivariantExpertFFN(nn.Module):
+    """Deliberately non-equivariant expert (ablation; reference :978-1026)."""
+
+    sphere_channels: int
+    hidden_channels: int
+    edge_channels: int
+    lmax: int
+
+    @nn.compact
+    def __call__(self, x, c_i):
+        h = Dense(self.hidden_channels, name="linear_1")(x)
+        h = jax.nn.silu(h)  # SiLU on every coefficient: breaks equivariance
+        gate = jax.nn.silu(
+            Dense(self.hidden_channels, name="gate_proj")(c_i)
+        )
+        h = h * gate[:, None, :]
+        return Dense(self.sphere_channels, name="linear_2")(h)
+
+
+class MoEHTRFeedForward(nn.Module):
+    sphere_channels: int
+    hidden_channels: int
+    edge_channels: int
+    lmax: int
+    num_experts: int = 4
+    breaking_equivariance: bool = False  # mixed equiv/non-equiv expert pool
+
+    @nn.compact
+    def __call__(self, x, t_ij, edge_dst, edge_mask):
+        """x: [N, K, C]; t_ij: [E, edge_C] -> ([N, K, C], routing_entropy)."""
+        N = x.shape[0]
+        c_i = segment_mean(t_ij, edge_dst, num_segments=N, mask=edge_mask)
+        c_i = jnp.nan_to_num(c_i, nan=0.0, posinf=1.0, neginf=-1.0)
+
+        r = jax.nn.silu(Dense(self.edge_channels, name="router_1")(c_i))
+        w = jax.nn.softmax(Dense(self.num_experts, name="router_2")(r), axis=-1)
+        entropy = jnp.mean(
+            -jnp.sum(w * jnp.log(w + 1e-8), axis=-1)
+        )
+
+        if self.breaking_equivariance:
+            n_equiv = -(-self.num_experts // 2)
+        else:
+            n_equiv = self.num_experts
+
+        out = jnp.zeros_like(x)
+        for k in range(self.num_experts):
+            cls = (
+                EquivariantExpertFFN if k < n_equiv else NonEquivariantExpertFFN
+            )
+            ek = cls(
+                sphere_channels=self.sphere_channels,
+                hidden_channels=self.hidden_channels,
+                edge_channels=self.edge_channels,
+                lmax=self.lmax,
+                name=f"expert_{k}",
+            )(x, c_i)
+            out = out + w[:, k][:, None, None] * ek
+        return out, entropy
