@@ -90,6 +90,9 @@ class EquiformerV2Backbone(nn.Module):
     ffn_variant: str = "standard"
     num_experts: int = 4
     dual_stream: bool = False
+    # rematerialize each block under grad (essential for force training:
+    # the grad-of-grad graph otherwise materializes every S2-grid activation)
+    remat: bool = False
     # compute dtype for the block stack ("float32" | "bfloat16")
     compute_dtype: str = "float32"
 
@@ -199,8 +202,11 @@ class EquiformerV2Backbone(nn.Module):
 
         # ── transformer blocks ────────────────────────────────────────────
         x = x.astype(cdt)
+        block_cls = (
+            nn.remat(TransBlock, prevent_cse=False) if self.remat else TransBlock
+        )
         for i in range(self.num_layers):
-            block = TransBlock(
+            block = block_cls(
                 layout_full=lay_full,
                 layout_red=lay_red,
                 grid_red=grid_red,
@@ -232,6 +238,8 @@ class EquiformerV2Backbone(nn.Module):
                 ffn_variant=self.ffn_variant,
                 num_experts=self.num_experts,
                 dual_stream=self.dual_stream,
+                num_graphs=num_graphs,
+                deterministic=deterministic,
                 name=f"block_{i}",
             )
             out = block(
@@ -243,12 +251,10 @@ class EquiformerV2Backbone(nn.Module):
                 edge_mask,
                 wigner,
                 graph_idx,
-                num_graphs,
-                t_ij=t_ij,
-                rl_ij=rl_ij,
-                phi_r=phi_r.astype(cdt) if self.use_phi_every_layer else None,
-                a_ij=a_ij,
-                deterministic=deterministic,
+                t_ij,
+                rl_ij,
+                phi_r.astype(cdt) if self.use_phi_every_layer else None,
+                a_ij,
             )
             if self.gata and self.dual_stream:
                 x, t_ij, a_ij = out

@@ -71,6 +71,7 @@ class EquiformerV2MatPES(nn.Module):
     ffn_variant: str = "standard"
     num_experts: int = 4
     dual_stream: bool = False
+    remat: bool = True
     compute_dtype: str = "float32"
 
     @nn.compact
@@ -111,6 +112,7 @@ class EquiformerV2MatPES(nn.Module):
             ffn_variant=self.ffn_variant,
             num_experts=self.num_experts,
             dual_stream=self.dual_stream,
+            remat=self.remat,
             compute_dtype=self.compute_dtype,
             name="backbone",
         )(

@@ -57,6 +57,7 @@ class EquiformerV2OC20(nn.Module):
     proj_drop: float = 0.0
     avg_num_nodes: float = _AVG_NUM_NODES_OC20
     avg_degree: float = _AVG_DEGREE_OC20
+    remat: bool = False
     compute_dtype: str = "float32"
 
     @nn.compact
@@ -88,6 +89,7 @@ class EquiformerV2OC20(nn.Module):
             drop_path_rate=self.drop_path_rate,
             proj_drop=self.proj_drop,
             avg_degree=self.avg_degree,
+            remat=self.remat,
             compute_dtype=self.compute_dtype,
             name="backbone",
         )(

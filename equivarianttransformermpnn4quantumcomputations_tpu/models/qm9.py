@@ -46,6 +46,7 @@ class EquiformerV2QM9(nn.Module):
     drop_path_rate: float = 0.05
     proj_drop: float = 0.0
     avg_degree: float = 6.0   # reference _AVG_DEGREE_QM9
+    remat: bool = False
     compute_dtype: str = "float32"
 
     @nn.compact
@@ -78,6 +79,7 @@ class EquiformerV2QM9(nn.Module):
             drop_path_rate=self.drop_path_rate,
             proj_drop=self.proj_drop,
             avg_degree=self.avg_degree,
+            remat=self.remat,
             compute_dtype=self.compute_dtype,
             name="backbone",
         )(

@@ -96,6 +96,10 @@ class TransBlock(nn.Module):
     num_experts: int = 4
     # dual-stream: thread a second (angular) edge stream through the block
     dual_stream: bool = False
+    # static per-construction context (attributes, not call args, so that the
+    # whole block can be wrapped in nn.remat with pure-pytree call args)
+    num_graphs: int = 1
+    deterministic: bool = True
 
     @nn.compact
     def __call__(
@@ -108,13 +112,13 @@ class TransBlock(nn.Module):
         edge_mask,
         wigner: WignerBlocks,
         graph_idx,
-        num_graphs: int,
         t_ij=None,
         rl_ij=None,
         phi_r=None,
         a_ij=None,
-        deterministic: bool = True,
     ):
+        num_graphs = self.num_graphs
+        deterministic = self.deterministic
         lmax = self.layout_full.lmax
 
         if self.gata:

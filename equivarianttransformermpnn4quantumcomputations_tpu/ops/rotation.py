@@ -134,14 +134,24 @@ def _z_rot(l: int, angle):
 
 
 class WignerBlocks:
-    """Per-degree Wigner-D blocks for a batch of edges (gradient-stopped)."""
+    """Per-degree Wigner-D blocks for a batch of edges (gradient-stopped).
+
+    Registered as a jax pytree so it can flow through jit/remat/scan.
+    """
 
     def __init__(self, blocks):
-        self.blocks = blocks  # list over l of [E, 2l+1, 2l+1]
+        self.blocks = list(blocks)  # list over l of [E, 2l+1, 2l+1]
 
     @property
     def lmax(self) -> int:
         return len(self.blocks) - 1
+
+
+jax.tree_util.register_pytree_node(
+    WignerBlocks,
+    lambda w: (tuple(w.blocks), None),
+    lambda aux, children: WignerBlocks(children),
+)
 
 
 def compute_wigner(lmax: int, edge_vec, dtype=jnp.float32) -> WignerBlocks:
