@@ -27,6 +27,9 @@ import numpy as np
 
 __all__ = ["GraphSample", "radius_graph", "radius_graph_pbc", "collate", "PaddedBatch"]
 
+# dispatch to the C++ builder when its shared lib is available/compilable
+USE_NATIVE = True
+
 
 @dataclass
 class GraphSample:
@@ -46,8 +49,15 @@ class GraphSample:
 def radius_graph(pos: np.ndarray, cutoff: float, max_neighbors: int | None):
     """Non-PBC neighbor search with per-dst closest-k cap.
 
-    Returns (src, dst) index arrays.
+    Returns (src, dst, shift[E,3]=0) index arrays.  Uses the C++ builder
+    (csrc/neighborlist.cpp) when available, numpy otherwise.
     """
+    if USE_NATIVE:
+        from .native import neighbor_list_native
+
+        nat = neighbor_list_native(pos, None, False, cutoff, max_neighbors)
+        if nat is not None:
+            return nat
     n = pos.shape[0]
     diff = pos[None, :, :] - pos[:, None, :]       # [i, j] = pos[j] - pos[i]
     dist = np.linalg.norm(diff, axis=-1)
@@ -64,7 +74,14 @@ def radius_graph_pbc(
     """PBC neighbor search over the 27 first-shell images.
 
     Returns (src, dst, shift_int) with dvec = pos[dst] + shift_int @ cell - pos[src].
+    Uses the C++ builder (csrc/neighborlist.cpp) when available.
     """
+    if USE_NATIVE:
+        from .native import neighbor_list_native
+
+        nat = neighbor_list_native(pos, cell, True, cutoff, max_neighbors)
+        if nat is not None:
+            return nat
     n = pos.shape[0]
     rng = np.array([-1, 0, 1])
     shifts = np.stack(
