@@ -17,11 +17,12 @@ import numpy as np
 
 REFERENCE_ANCHOR_GRAPHS_PER_SEC = 25.0
 
-# benchmark shape: realistic MatPES training batch on one v5e chip
-N_GRAPHS = 16
+# benchmark shape: realistic MatPES training batch on one v5e chip (16 GB HBM;
+# grad-of-grad force training at grid_resolution=18 bounds the batch)
+N_GRAPHS = 8
 ATOMS_PER_GRAPH = 30
-N_PAD = 512
-E_PAD = 12288
+N_PAD = 256
+E_PAD = 5120
 STEPS = 10
 
 

@@ -38,7 +38,9 @@ __all__ = [
     "edge_frame",
     "frame_to_zyz_angles",
     "WignerBlocks",
+    "WignerFactors",
     "compute_wigner",
+    "compute_wigner_blocks",
     "rotate_to_edge",
     "rotate_from_edge",
 ]
@@ -154,7 +156,7 @@ jax.tree_util.register_pytree_node(
 )
 
 
-def compute_wigner(lmax: int, edge_vec, dtype=jnp.float32) -> WignerBlocks:
+def compute_wigner_blocks(lmax: int, edge_vec, dtype=jnp.float32) -> WignerBlocks:
     """Wigner-D blocks of the edge-alignment rotation for each edge."""
     rot = edge_frame(edge_vec.astype(jnp.float32))
     alpha, beta, gamma = frame_to_zyz_angles(rot)
@@ -185,16 +187,176 @@ def _m_keep_rows(l: int, mmax: int) -> np.ndarray:
     return np.arange(l - mm, l + mm + 1)
 
 
-def rotate_to_edge(wigner: WignerBlocks, x, layout: IrrepsLayout):
+# ════════════════════════════════════════════════════════════════════════════
+# Factored Wigner application — the TPU-native fast path.
+#
+# D = Xz(a) @ J @ Xz(b) @ J @ Xz(g): each Xz is a per-edge *elementwise*
+# butterfly over (m, -m) pairs (VPU; fused by XLA), and J is a CONSTANT
+# block-diagonal matrix shared by all edges, so applying it is one big
+# [K, K] x [K, E*C] GEMM with full MXU utilization — instead of the
+# per-edge batched [d, d] x [d, C] matmuls of the block path, which pad each
+# tiny matrix onto the 128x128 systolic array (~1% utilization; SURVEY ranks
+# that bmm the #1 hot loop of the reference).
+# ════════════════════════════════════════════════════════════════════════════
+
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _flip_index(lmax: int) -> np.ndarray:
+    """index of the (l, -m) coefficient for each (l, m) in l-primary layout."""
+    idx = np.zeros((lmax + 1) ** 2, dtype=np.int32)
+    for l in range(lmax + 1):
+        for m in range(-l, l + 1):
+            idx[l * l + l + m] = l * l + l - m
+    return idx
+
+
+@functools.lru_cache(maxsize=None)
+def _flip_index_reduced(lmax: int, mmax: int) -> np.ndarray:
+    from .irreps import layout as get_layout
+
+    lay = get_layout(lmax, mmax)
+    # position of (l, -m) within the reduced layout
+    pos_of = {}
+    for i, (l, m) in enumerate(zip(lay.l_harmonic, lay.m_complex)):
+        pos_of[(int(l), int(m))] = i
+    return np.asarray(
+        [
+            pos_of[(int(l), -int(m))]
+            for l, m in zip(lay.l_harmonic, lay.m_complex)
+        ],
+        dtype=np.int32,
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _abs_m_index(lmax: int) -> np.ndarray:
+    return np.concatenate(
+        [np.abs(np.arange(-l, l + 1)) for l in range(lmax + 1)]
+    ).astype(np.int32)
+
+
+@functools.lru_cache(maxsize=None)
+def _sign_m(lmax: int) -> np.ndarray:
+    return np.concatenate(
+        [np.sign(np.arange(-l, l + 1)) for l in range(lmax + 1)]
+    ).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def _J_dense(lmax: int) -> np.ndarray:
+    """Block-diagonal J over the full (lmax+1)^2 coefficient axis."""
+    K = (lmax + 1) ** 2
+    J = np.zeros((K, K), dtype=np.float32)
+    for l, Jl in enumerate(J_matrices(lmax)):
+        J[l * l : l * l + 2 * l + 1, l * l : l * l + 2 * l + 1] = Jl
+    return J
+
+
+class WignerFactors:
+    """Per-edge cos/sin tables for the factored Wigner application.
+
+    cos_*/sin_* have shape [E, lmax+1] (per |m|); expansion to the
+    coefficient axis happens via static gathers at apply time.
+    """
+
+    def __init__(self, lmax, ca, sa, cb, sb, cg, sg):
+        self.lmax = lmax
+        self.ca, self.sa = ca, sa
+        self.cb, self.sb = cb, sb
+        self.cg, self.sg = cg, sg
+
+
+jax.tree_util.register_pytree_node(
+    WignerFactors,
+    lambda w: ((w.ca, w.sa, w.cb, w.sb, w.cg, w.sg), w.lmax),
+    lambda lmax, c: WignerFactors(lmax, *c),
+)
+
+
+def compute_wigner(lmax: int, edge_vec, dtype=jnp.float32) -> WignerFactors:
+    """Factored per-edge Wigner rotation (gradient-stopped geometry)."""
+    rot = edge_frame(edge_vec.astype(jnp.float32))
+    alpha, beta, gamma = frame_to_zyz_angles(rot)
+    m = jnp.arange(0, lmax + 1, dtype=jnp.float32)
+
+    def cs(angle):
+        t = m * angle[:, None]
+        return jnp.cos(t).astype(dtype), jnp.sin(t).astype(dtype)
+
+    ca, sa = cs(alpha)
+    cb, sb = cs(beta)
+    cg, sg = cs(gamma)
+    return WignerFactors(
+        lmax,
+        *map(jax.lax.stop_gradient, (ca, sa, cb, sb, cg, sg)),
+    )
+
+
+def _apply_z_full(x, cos_m, sin_m, lmax: int, inverse: bool = False):
+    """y[m] = cos(m t) x[m] - sin(m t) x[-m] on the full layout."""
+    absm = _abs_m_index(lmax)
+    sign = jnp.asarray(_sign_m(lmax), dtype=x.dtype)
+    flip = _flip_index(lmax)
+    c = cos_m[:, absm]                       # [E, K]
+    s = sin_m[:, absm] * sign[None, :]       # [E, K] = sin(m t)
+    if inverse:
+        s = -s
+    return c[..., None] * x - s[..., None] * x[:, flip, :]
+
+
+def _apply_z_reduced(x, cos_m, sin_m, layout: IrrepsLayout, inverse: bool = False):
+    absm = np.abs(layout.m_complex)
+    sign = jnp.asarray(
+        np.sign(layout.m_complex).astype(np.float32), dtype=x.dtype
+    )
+    flip = _flip_index_reduced(layout.lmax, layout.mmax)
+    c = cos_m[:, absm]
+    s = sin_m[:, absm] * sign[None, :]
+    if inverse:
+        s = -s
+    return c[..., None] * x - s[..., None] * x[:, flip, :]
+
+
+def _rotate_to_edge_factored(w: WignerFactors, x, layout: IrrepsLayout):
+    lmax = layout.lmax
+    J = jnp.asarray(_J_dense(lmax), dtype=x.dtype)
+    z = _apply_z_full(x, w.cg, w.sg, lmax)
+    z = jnp.einsum("ij,ejc->eic", J, z)
+    z = _apply_z_full(z, w.cb, w.sb, lmax)
+    # second J: keep only the |m| <= mmax output rows
+    Jr = J[layout.full_indices, :] if layout.mmax < lmax else J
+    z = jnp.einsum("ij,ejc->eic", Jr, z)
+    return _apply_z_reduced(z, w.ca, w.sa, layout)
+
+
+def _rotate_from_edge_factored(w: WignerFactors, x, layout: IrrepsLayout):
+    lmax = layout.lmax
+    J = jnp.asarray(_J_dense(lmax), dtype=x.dtype)
+    z = _apply_z_reduced(x, w.ca, w.sa, layout, inverse=True)
+    Jc = J[:, layout.full_indices] if layout.mmax < lmax else J
+    z = jnp.einsum("ij,ejc->eic", Jc, z)
+    z = _apply_z_full(z, w.cb, w.sb, lmax, inverse=True)
+    z = jnp.einsum("ij,ejc->eic", J, z)
+    z = _apply_z_full(z, w.cg, w.sg, lmax, inverse=True)
+    if layout.mmax < lmax:
+        z = z * jnp.asarray(layout.rescale, dtype=z.dtype)[None, :, None]
+    return z
+
+
+def rotate_to_edge(wigner, x, layout: IrrepsLayout):
     """Rotate node features into each edge frame, truncating to |m| <= mmax.
 
     Args:
-        wigner: per-edge Wigner blocks (lmax degrees).
+        wigner: WignerFactors (fast factored path) or WignerBlocks.
         x: [E, (lmax+1)**2, C] features in the global frame (l-primary).
         layout: target layout with the mmax truncation.
     Returns:
         [E, K_red, C] features in the edge frame (l-primary reduced layout).
     """
+    if isinstance(wigner, WignerFactors):
+        return _rotate_to_edge_factored(wigner, x, layout)
     out = []
     for l in range(layout.lmax + 1):
         w = wigner.blocks[l]
@@ -216,6 +378,8 @@ def rotate_from_edge(wigner: WignerBlocks, x, layout: IrrepsLayout):
     Returns:
         [E, (lmax+1)**2, C] global-frame features.
     """
+    if isinstance(wigner, WignerFactors):
+        return _rotate_from_edge_factored(wigner, x, layout)
     out = []
     offset = 0
     for l in range(layout.lmax + 1):

@@ -119,7 +119,7 @@ def test_wigner_blocks_match_sph():
     vecs[0] = [0, 0, 1.0]
     vecs[1] = [0, 0, -1.0]
     rot = np.asarray(R.edge_frame(jnp.asarray(vecs)))
-    wig = R.compute_wigner(LMAX, jnp.asarray(vecs))
+    wig = R.compute_wigner_blocks(LMAX, jnp.asarray(vecs))
 
     pts = rng.normal(size=(16, 3))
     pts /= np.linalg.norm(pts, axis=-1, keepdims=True)
@@ -138,7 +138,7 @@ def test_edge_aligned_is_m0_only():
     rng = np.random.default_rng(6)
     vecs = rng.normal(size=(8, 3)).astype(np.float32)
     vhat = vecs / np.linalg.norm(vecs, axis=-1, keepdims=True)
-    wig = R.compute_wigner(LMAX, jnp.asarray(vecs))
+    wig = R.compute_wigner_blocks(LMAX, jnp.asarray(vecs))
     Y = np.asarray(real_sph_harm(LMAX, jnp.asarray(vhat)))
     for l in range(1, LMAX + 1):
         D = np.asarray(wig.blocks[l])
@@ -154,10 +154,32 @@ def test_rotate_roundtrip_full_mmax():
     rng = np.random.default_rng(7)
     vecs = rng.normal(size=(8, 3)).astype(np.float32)
     x = rng.normal(size=(8, (LMAX + 1) ** 2, 16)).astype(np.float32)
-    wig = R.compute_wigner(LMAX, jnp.asarray(vecs))
+    wig = R.compute_wigner_blocks(LMAX, jnp.asarray(vecs))
     xe = R.rotate_to_edge(wig, jnp.asarray(x), lay)
     back = np.asarray(R.rotate_from_edge(wig, xe, lay))
     assert np.allclose(back, x, atol=1e-4)
+
+
+def test_factored_matches_blocks():
+    """The MXU-friendly Xa-J-Xb-J-Xc factored path == explicit blocks path,
+    for both full and mmax-truncated layouts, both directions."""
+    rng = np.random.default_rng(8)
+    vecs = rng.normal(size=(12, 3)).astype(np.float32)
+    vecs[0] = [0, 0, 1.0]
+    vecs[1] = [0, 0, -1.0]
+    x = rng.normal(size=(12, (LMAX + 1) ** 2, 8)).astype(np.float32)
+    blocks = R.compute_wigner_blocks(LMAX, jnp.asarray(vecs))
+    factors = R.compute_wigner(LMAX, jnp.asarray(vecs))
+    assert isinstance(factors, R.WignerFactors)
+    for mmax in (LMAX, 2, 1):
+        lay = layout(LMAX, mmax)
+        a = np.asarray(R.rotate_to_edge(blocks, jnp.asarray(x), lay))
+        b = np.asarray(R.rotate_to_edge(factors, jnp.asarray(x), lay))
+        assert np.abs(a - b).max() < 5e-4, (mmax, np.abs(a - b).max())
+        xr = rng.normal(size=a.shape).astype(np.float32)
+        ia = np.asarray(R.rotate_from_edge(blocks, jnp.asarray(xr), lay))
+        ib = np.asarray(R.rotate_from_edge(factors, jnp.asarray(xr), lay))
+        assert np.abs(ia - ib).max() < 5e-4, (mmax, np.abs(ia - ib).max())
 
 
 def test_layout_perms():
