@@ -44,14 +44,36 @@ def gate_activation(gating_scalars, x, lmax: int, mmax: int, num_channels: int):
     return jnp.concatenate([scalars, vectors], axis=1)
 
 
+# Auto-chunking: the grid representation [N, res_b, res_a, C] is the single
+# largest activation in the network (e.g. [12288 edges, 18, 18, 128] = 2 GB).
+# When it would exceed _CHUNK_THRESHOLD bytes, process the leading axis in
+# lax.map chunks — the scan forces XLA to schedule chunks sequentially, so
+# peak memory drops to one chunk while FLOPs are unchanged.
+_CHUNK_THRESHOLD = 256 * 1024 * 1024
+_CHUNK_TARGET = 32 * 1024 * 1024
+
+
 def s2_activation(x, grid: S2Grid):
     """Point-sample S2 activation: to-grid, SiLU, from-grid.
 
     Reference activation.py:153-170.  x: [N, K_red, C].
     """
-    g = grid.to_grid(x)
-    g = jax.nn.silu(g)
-    return grid.from_grid(g)
+    N, K, C = x.shape
+    pts = grid.res_beta * grid.res_alpha
+    full_bytes = N * pts * C * 4
+
+    def act(xc):
+        return grid.from_grid(jax.nn.silu(grid.to_grid(xc)))
+
+    if full_bytes <= _CHUNK_THRESHOLD:
+        return act(x)
+
+    chunk = max(8, (_CHUNK_TARGET // (pts * C * 4)) // 8 * 8)
+    n_chunks = -(-N // chunk)
+    pad = n_chunks * chunk - N
+    xp = jnp.pad(x, ((0, pad), (0, 0), (0, 0)))
+    ys = jax.lax.map(act, xp.reshape(n_chunks, chunk, K, C))
+    return ys.reshape(n_chunks * chunk, K, C)[:N]
 
 
 def separable_s2_activation(gating_scalars, x, grid: S2Grid):

@@ -158,6 +158,34 @@ def test_s2_activation_approx_equivariance():
     assert rel_err(16) < 1e-4
 
 
+def test_s2_activation_chunked_matches():
+    """Auto-chunked S2 activation == single-shot, values and gradients."""
+    import jax
+
+    from equivarianttransformermpnn4quantumcomputations_tpu.nn import activations as A
+
+    rng = np.random.default_rng(6)
+    g = s2grid(LMAX, LMAX)
+    x = jnp.asarray(rng.normal(size=(50, (LMAX + 1) ** 2, 4)).astype(np.float32))
+
+    y_ref = np.asarray(A.s2_activation(x, g))
+    old = A._CHUNK_THRESHOLD
+    try:
+        A._CHUNK_THRESHOLD = 1  # force chunking
+        A._CHUNK_TARGET = 16 * (LMAX + 1) ** 2 * 4 * 100
+        y_chunk = np.asarray(A.s2_activation(x, g))
+        gfun = jax.grad(lambda t: jnp.sum(A.s2_activation(t, g) ** 2))
+        g_chunk = np.asarray(gfun(x))
+    finally:
+        A._CHUNK_THRESHOLD = old
+        A._CHUNK_TARGET = 32 * 1024 * 1024
+    g_ref = np.asarray(
+        jax.grad(lambda t: jnp.sum(A.s2_activation(t, g) ** 2))(x)
+    )
+    assert np.abs(y_ref - y_chunk).max() < 1e-5
+    assert np.abs(g_ref - g_chunk).max() < 1e-4
+
+
 def test_segment_softmax_masked():
     logits = jnp.asarray([1.0, 2.0, 3.0, 100.0, 5.0])
     seg = jnp.asarray([0, 0, 1, 1, 2])
