@@ -60,6 +60,7 @@ def main():
         gata=True,
         alpha_drop=0.0,
         drop_path_rate=0.0,
+        scan_layers=True,   # one compiled block body; ~6x faster XLA compile
     )
 
     rng = np.random.default_rng(0)

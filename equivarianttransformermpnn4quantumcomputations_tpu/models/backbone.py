@@ -93,6 +93,10 @@ class EquiformerV2Backbone(nn.Module):
     # rematerialize each block under grad (essential for force training:
     # the grad-of-grad graph otherwise materializes every S2-grid activation)
     remat: bool = False
+    # lax.scan over the (identical) layer stack: compiles ONE block body
+    # instead of num_layers copies — cuts XLA compile time ~num_layers x and
+    # shrinks the executable; params gain a leading layer axis.
+    scan_layers: bool = False
     # compute dtype for the block stack ("float32" | "bfloat16")
     compute_dtype: str = "float32"
 
@@ -202,11 +206,7 @@ class EquiformerV2Backbone(nn.Module):
 
         # ── transformer blocks ────────────────────────────────────────────
         x = x.astype(cdt)
-        block_cls = (
-            nn.remat(TransBlock, prevent_cse=False) if self.remat else TransBlock
-        )
-        for i in range(self.num_layers):
-            block = block_cls(
+        block_kwargs = dict(
                 layout_full=lay_full,
                 layout_red=lay_red,
                 grid_red=grid_red,
@@ -240,28 +240,50 @@ class EquiformerV2Backbone(nn.Module):
                 dual_stream=self.dual_stream,
                 num_graphs=num_graphs,
                 deterministic=deterministic,
-                name=f"block_{i}",
-            )
-            out = block(
-                x,
-                atomic_numbers,
-                edge_scalars.astype(cdt),
-                edge_src,
-                edge_dst,
-                edge_mask,
-                wigner,
-                graph_idx,
-                t_ij,
-                rl_ij,
-                phi_r.astype(cdt) if self.use_phi_every_layer else None,
-                a_ij,
-            )
+        )
+        edge_scalars_c = edge_scalars.astype(cdt)
+        phi_c = phi_r.astype(cdt) if self.use_phi_every_layer else None
+
+        def unpack(out, prev_t, prev_a):
             if self.gata and self.dual_stream:
-                x, t_ij, a_ij = out
-            elif self.gata:
-                x, t_ij = out
-            else:
-                x = out
+                return out
+            if self.gata:
+                return out + (prev_a,)
+            return (out, prev_t, prev_a)
+
+        if self.scan_layers:
+            block = TransBlock(**block_kwargs, name="blocks")
+
+            def body(mod, carry, _):
+                xx, tt, aa = carry
+                out = mod(
+                    xx, atomic_numbers, edge_scalars_c, edge_src, edge_dst,
+                    edge_mask, wigner, graph_idx, tt, rl_ij, phi_c, aa,
+                )
+                return unpack(out, tt, aa), None
+
+            if self.remat:
+                body = nn.remat(body, prevent_cse=False)
+            scan = nn.scan(
+                body,
+                variable_axes={"params": 0, "intermediates": 0},
+                split_rngs={"params": True, "dropout": True},
+                length=self.num_layers,
+            )
+            (x, t_ij, a_ij), _ = scan(block, (x, t_ij, a_ij), None)
+        else:
+            block_cls = (
+                nn.remat(TransBlock, prevent_cse=False)
+                if self.remat
+                else TransBlock
+            )
+            for i in range(self.num_layers):
+                block = block_cls(**block_kwargs, name=f"block_{i}")
+                out = block(
+                    x, atomic_numbers, edge_scalars_c, edge_src, edge_dst,
+                    edge_mask, wigner, graph_idx, t_ij, rl_ij, phi_c, a_ij,
+                )
+                x, t_ij, a_ij = unpack(out, t_ij, a_ij)
 
         x = get_normalization_layer(
             self.norm_type, self.lmax, self.sphere_channels

@@ -72,6 +72,7 @@ class EquiformerV2MatPES(nn.Module):
     num_experts: int = 4
     dual_stream: bool = False
     remat: bool = True
+    scan_layers: bool = False
     compute_dtype: str = "float32"
 
     @nn.compact
@@ -113,6 +114,7 @@ class EquiformerV2MatPES(nn.Module):
             num_experts=self.num_experts,
             dual_stream=self.dual_stream,
             remat=self.remat,
+            scan_layers=self.scan_layers,
             compute_dtype=self.compute_dtype,
             name="backbone",
         )(

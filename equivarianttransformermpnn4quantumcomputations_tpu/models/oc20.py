@@ -58,6 +58,7 @@ class EquiformerV2OC20(nn.Module):
     avg_num_nodes: float = _AVG_NUM_NODES_OC20
     avg_degree: float = _AVG_DEGREE_OC20
     remat: bool = False
+    scan_layers: bool = False
     compute_dtype: str = "float32"
 
     @nn.compact
@@ -90,6 +91,7 @@ class EquiformerV2OC20(nn.Module):
             proj_drop=self.proj_drop,
             avg_degree=self.avg_degree,
             remat=self.remat,
+            scan_layers=self.scan_layers,
             compute_dtype=self.compute_dtype,
             name="backbone",
         )(

@@ -47,6 +47,7 @@ class EquiformerV2QM9(nn.Module):
     proj_drop: float = 0.0
     avg_degree: float = 6.0   # reference _AVG_DEGREE_QM9
     remat: bool = False
+    scan_layers: bool = False
     compute_dtype: str = "float32"
 
     @nn.compact
@@ -80,6 +81,7 @@ class EquiformerV2QM9(nn.Module):
             proj_drop=self.proj_drop,
             avg_degree=self.avg_degree,
             remat=self.remat,
+            scan_layers=self.scan_layers,
             compute_dtype=self.compute_dtype,
             name="backbone",
         )(
