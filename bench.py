@@ -19,11 +19,13 @@ REFERENCE_ANCHOR_GRAPHS_PER_SEC = 25.0
 
 # benchmark shape: realistic MatPES training batch on one v5e chip (16 GB HBM;
 # grad-of-grad force training at grid_resolution=18 bounds the batch)
-N_GRAPHS = 8
-ATOMS_PER_GRAPH = 30
-N_PAD = 256
-E_PAD = 5120
-STEPS = 10
+import os
+
+N_GRAPHS = int(os.environ.get("ETQ_BENCH_GRAPHS", 8))
+ATOMS_PER_GRAPH = int(os.environ.get("ETQ_BENCH_ATOMS", 30))
+N_PAD = int(os.environ.get("ETQ_BENCH_NPAD", 256))
+E_PAD = int(os.environ.get("ETQ_BENCH_EPAD", 5120))
+STEPS = int(os.environ.get("ETQ_BENCH_STEPS", 10))
 
 
 def main():

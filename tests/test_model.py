@@ -140,6 +140,34 @@ def test_padding_invariance():
     assert np.abs(out1 - out2).max() < 2e-4, np.abs(out1 - out2).max()
 
 
+def test_scan_layers_invariance():
+    """Scanned layer stack: still works and still rotation-invariant."""
+    rng = np.random.default_rng(7)
+    samples = make_mols(rng)
+    model = EquiformerV2QM9(
+        **{**TINY, "use_gate_act": True, "use_sep_s2_act": False},
+        scan_layers=True,
+    )
+    b = batch_dict(samples)
+    params = model.init(jax.random.PRNGKey(0), b)
+    out1 = np.asarray(model.apply(params, b))
+    from test_ops import rotmat_zyz
+
+    Rm = rotmat_zyz(0.5, -0.9, 1.1).astype(np.float32)
+    rotated = [
+        GraphSample(atomic_numbers=s.atomic_numbers, pos=s.pos @ Rm.T, y=s.y)
+        for s in samples
+    ]
+    out2 = np.asarray(model.apply(params, batch_dict(rotated)))
+    assert np.abs(out1 - out2).max() < 5e-4
+    # params must be stacked along the layer axis
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    assert any(
+        "blocks" in "/".join(str(p) for p in path) and leaf.shape[0] == 2
+        for path, leaf in flat
+    )
+
+
 def test_gata_forward_smoke():
     rng = np.random.default_rng(5)
     b = batch_dict(make_mols(rng))
