@@ -125,3 +125,54 @@ class GaussianSmearing:
     def __call__(self, dist):
         d = dist[..., None] - self.offset
         return jnp.exp(self.coeff * d * d)
+
+
+class ScaledSwiGLU(nn.Module):
+    """SwiGLU with the scaled-SiLU gate (reference activation.py:29-44)."""
+
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, x):
+        w = Dense(2 * self.out_channels)(x)
+        return swiglu(x, w, self.out_channels, scaled=True)
+
+
+class SwiGLU(nn.Module):
+    """Plain SwiGLU (reference activation.py:48-63)."""
+
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, x):
+        w = Dense(2 * self.out_channels)(x)
+        return swiglu(x, w, self.out_channels, scaled=False)
+
+
+class GaussianRadialBasisLayer(nn.Module):
+    """Learnable Gaussian RBF (Graphormer-style) — reference
+    gaussian_rbf.py:12-45 (dead code in the reference's final models; kept
+    for API parity as an alternative distance expansion)."""
+
+    num_basis: int = 128
+    cutoff: float = 5.0
+
+    @nn.compact
+    def __call__(self, dist):
+        mean = self.param(
+            "mean",
+            lambda k, s: jnp.linspace(0.0, self.cutoff, self.num_basis),
+            (self.num_basis,),
+        )
+        std = self.param(
+            "std",
+            lambda k, s: jnp.full(s, self.cutoff / self.num_basis),
+            (self.num_basis,),
+        )
+        mul = self.param("mul", nn.initializers.ones, (1,))
+        bias = self.param("bias", nn.initializers.zeros, (1,))
+        d = mul * dist[..., None] + bias - mean
+        std = jnp.abs(std) + 1e-5
+        return jnp.exp(-0.5 * (d / std) ** 2) / (
+            std * math.sqrt(2.0 * math.pi)
+        )

@@ -173,3 +173,25 @@ def get_normalization_layer(norm_type: str, lmax: int, num_channels: int):
     if norm_type == "rms_norm_sh":
         return EquivariantRMSNormSH(lmax=lmax, num_channels=num_channels)
     raise ValueError(norm_type)
+
+
+class EquivariantDegreeLayerScale(nn.Module):
+    """CaiT-style per-degree layer scale: init 1 for l=0, 1/sqrt(2 l) scaled
+    down for l>0 (reference layer_norm.py:354-380 — which has a latent
+    missing-``math``-import bug; fixed here, and unused by the reference's
+    models, kept for parity)."""
+
+    lmax: int
+    num_channels: int
+    scale_factor: float = 2.0
+
+    @nn.compact
+    def __call__(self, x):
+        def init(key, shape):
+            w = np.ones(shape, dtype=np.float32)
+            for l in range(1, self.lmax + 1):
+                w[l] /= np.sqrt(self.scale_factor * l)
+            return jnp.asarray(w)
+
+        w = self.param("weight", init, (self.lmax + 1, self.num_channels))
+        return x * w[_expand_index(self.lmax)][None]

@@ -28,7 +28,7 @@ import numpy as np
 from ..ops.irreps import IrrepsLayout
 from .layers import RadialMLP, fan_in_normal
 
-__all__ = ["SO3Linear", "SO2Conv"]
+__all__ = ["SO3Linear", "SO2Conv", "SO2Linear"]
 
 
 class SO3Linear(nn.Module):
@@ -143,3 +143,61 @@ class SO2Conv(nn.Module):
         out_m = jnp.concatenate(out_blocks, axis=1)
         out = out_m[:, lay.from_m_perm, :]
         return out, extra
+
+
+class SO2Linear(nn.Module):
+    """SO(2) linear over all m without the complex pair-mixing — the same
+    layout/radial plumbing as SO2Conv but each (m, +/-) row is mapped by one
+    real matrix (reference so2_ops.py:207-332; present in the reference for
+    API parity, unused by the final models).
+
+    Call: (x [E, K_red, C_in], edge_scalars | None)
+        -> out [E, K_red, C_out]
+    """
+
+    layout: IrrepsLayout
+    in_channels: int
+    out_channels: int
+    rad_channels: Optional[Sequence[int]] = None
+
+    @nn.compact
+    def __call__(self, x, edge_scalars=None):
+        lay = self.layout
+        E = x.shape[0]
+        Cin, Cout = self.in_channels, self.out_channels
+        xm = x[:, lay.to_m_perm, :]
+
+        rad = None
+        if self.rad_channels is not None:
+            n_rad = int(lay.m_size.sum()) * Cin
+            rad = RadialMLP(tuple(self.rad_channels) + (n_rad,))(edge_scalars)
+
+        out_blocks = []
+        offset = 0
+        offset_rad = 0
+        L0 = int(lay.m_size[0])
+        x0 = xm[:, :L0, :].reshape(E, L0 * Cin)
+        if rad is not None:
+            x0 = x0 * rad[:, : L0 * Cin]
+            offset_rad = L0 * Cin
+        w0 = self.param("w_m0", fan_in_normal(), (L0 * Cin, L0 * Cout))
+        b0 = self.param("b_m0", nn.initializers.zeros, (L0 * Cout,))
+        out_blocks.append((x0 @ w0 + b0).reshape(E, L0, Cout))
+        offset = L0
+
+        for m in range(1, lay.mmax + 1):
+            Lm = int(lay.m_size[m])
+            xmm = xm[:, offset : offset + 2 * Lm, :].reshape(E, 2, Lm * Cin)
+            if rad is not None:
+                rm = rad[:, offset_rad : offset_rad + Lm * Cin]
+                xmm = xmm * rm[:, None, :]
+                offset_rad += Lm * Cin
+            w = self.param(
+                f"w_m{m}", fan_in_normal(), (Lm * Cin, Lm * Cout)
+            )
+            y = jnp.einsum("esi,io->eso", xmm, w)
+            out_blocks.append(y.reshape(E, 2 * Lm, Cout))
+            offset += 2 * Lm
+
+        out_m = jnp.concatenate(out_blocks, axis=1)
+        return out_m[:, lay.from_m_perm, :]
