@@ -252,25 +252,26 @@ class EquiformerV2Backbone(nn.Module):
             return (out, prev_t, prev_a)
 
         if self.scan_layers:
-            block = TransBlock(**block_kwargs, name="blocks")
+            from ..nn.block import BlockScanBody
 
-            def body(mod, carry, _):
-                xx, tt, aa = carry
-                out = mod(
-                    xx, atomic_numbers, edge_scalars_c, edge_src, edge_dst,
-                    edge_mask, wigner, graph_idx, tt, rl_ij, phi_c, aa,
-                )
-                return unpack(out, tt, aa), None
-
+            body_cls = BlockScanBody
             if self.remat:
-                body = nn.remat(body, prevent_cse=False)
-            scan = nn.scan(
-                body,
+                body_cls = nn.remat(BlockScanBody, prevent_cse=False)
+            scan_cls = nn.scan(
+                body_cls,
                 variable_axes={"params": 0, "intermediates": 0},
                 split_rngs={"params": True, "dropout": True},
+                in_axes=nn.broadcast,
                 length=self.num_layers,
             )
-            (x, t_ij, a_ij), _ = scan(block, (x, t_ij, a_ij), None)
+            broadcast = (
+                atomic_numbers, edge_scalars_c, edge_src, edge_dst,
+                edge_mask, wigner, graph_idx, rl_ij, phi_c,
+            )
+            (x, t_ij, a_ij), _ = scan_cls(
+                block_kwargs=tuple(sorted(block_kwargs.items())),
+                name="blocks",
+            )((x, t_ij, a_ij), broadcast)
         else:
             block_cls = (
                 nn.remat(TransBlock, prevent_cse=False)

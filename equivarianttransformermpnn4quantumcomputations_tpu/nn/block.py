@@ -24,7 +24,7 @@ from .gata import HTR
 from .norms import get_normalization_layer
 from .so3_layers import SO3Linear
 
-__all__ = ["TransBlock", "GraphDropPath", "EquivariantDropout"]
+__all__ = ["TransBlock", "BlockScanBody", "GraphDropPath", "EquivariantDropout"]
 
 
 class GraphDropPath(nn.Module):
@@ -246,3 +246,36 @@ class TransBlock(nn.Module):
         if self.gata:
             return x, t_ij
         return x
+
+
+class BlockScanBody(nn.Module):
+    """Carry-protocol adapter around TransBlock for nn.scan over layers.
+
+    carry = (x, t_ij, a_ij); broadcast = the per-batch edge context.  Wrapped
+    with nn.remat *as a class* so the scan saves only block inputs as
+    residuals (a closure-function remat leaves the scan storing every
+    intra-block intermediate stacked over layers — observed as multi-GB
+    [L, ...] buffers on TPU).
+    """
+
+    block_kwargs: tuple  # tuple(sorted(kwargs.items())) for TransBlock
+
+    @nn.compact
+    def __call__(self, carry, broadcast):
+        x, t_ij, a_ij = carry
+        (
+            atomic_numbers, edge_scalars, edge_src, edge_dst, edge_mask,
+            wigner, graph_idx, rl_ij, phi_r,
+        ) = broadcast
+        kw = dict(self.block_kwargs)
+        out = TransBlock(**kw, name="block")(
+            x, atomic_numbers, edge_scalars, edge_src, edge_dst, edge_mask,
+            wigner, graph_idx, t_ij, rl_ij, phi_r, a_ij,
+        )
+        if kw.get("gata") and kw.get("dual_stream"):
+            new_carry = out
+        elif kw.get("gata"):
+            new_carry = out + (a_ij,)
+        else:
+            new_carry = (out, t_ij, a_ij)
+        return new_carry, None
