@@ -191,7 +191,7 @@ class GraphAttention(nn.Module):
                 if self.normalize_attn_output:
                     attn_output = attn_output * jnp.mean(
                         alpha, axis=1, keepdims=True
-                    )
+                    ).astype(attn_output.dtype)
                 msg = GATAValueActivation(
                     sphere_channels=self.sphere_channels,
                     hidden_channels=self.hidden_channels,
@@ -227,7 +227,7 @@ class GraphAttention(nn.Module):
             )
         E, Kr = msg.shape[0], msg.shape[1]
         msg = msg.reshape(E, Kr, self.num_heads, self.attn_value_channels)
-        msg = msg * alpha[:, None, :, None]
+        msg = msg * alpha[:, None, :, None].astype(msg.dtype)
         msg = msg.reshape(E, Kr, self.num_heads * self.attn_value_channels)
 
         # ── rotate back + reduce ──────────────────────────────────────────

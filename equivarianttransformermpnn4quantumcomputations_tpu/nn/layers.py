@@ -105,7 +105,9 @@ class RadialMLP(nn.Module):
                 bias_init=nn.initializers.zeros,
             )(x)
             if i < len(chs) - 1:
-                x = nn.LayerNorm()(x)
+                # norm statistics always in f32 (cf. the reference's
+                # fp32-forced norms under AMP)
+                x = nn.LayerNorm(dtype=jnp.float32)(x).astype(x.dtype)
                 x = jax.nn.silu(x)
         return x
 

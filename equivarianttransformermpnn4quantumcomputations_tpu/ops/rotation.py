@@ -299,6 +299,8 @@ def _apply_z_full(x, cos_m, sin_m, lmax: int, inverse: bool = False):
     absm = _abs_m_index(lmax)
     sign = jnp.asarray(_sign_m(lmax), dtype=x.dtype)
     flip = _flip_index(lmax)
+    cos_m = cos_m.astype(x.dtype)
+    sin_m = sin_m.astype(x.dtype)
     c = cos_m[:, absm]                       # [E, K]
     s = sin_m[:, absm] * sign[None, :]       # [E, K] = sin(m t)
     if inverse:
@@ -312,6 +314,8 @@ def _apply_z_reduced(x, cos_m, sin_m, layout: IrrepsLayout, inverse: bool = Fals
         np.sign(layout.m_complex).astype(np.float32), dtype=x.dtype
     )
     flip = _flip_index_reduced(layout.lmax, layout.mmax)
+    cos_m = cos_m.astype(x.dtype)
+    sin_m = sin_m.astype(x.dtype)
     c = cos_m[:, absm]
     s = sin_m[:, absm] * sign[None, :]
     if inverse:

@@ -88,11 +88,15 @@ class S2Grid:
 
     def to_grid(self, x):
         """[N, K_red, C] coefficients -> [N, b, a, C] grid values."""
-        return jnp.einsum("bai,nic->nbac", self.to_grid_mat, x)
+        return jnp.einsum(
+            "bai,nic->nbac", self.to_grid_mat.astype(x.dtype), x
+        )
 
     def from_grid(self, g):
         """[N, b, a, C] grid values -> [N, K_red, C] coefficients."""
-        return jnp.einsum("bai,nbac->nic", self.from_grid_mat, g)
+        return jnp.einsum(
+            "bai,nbac->nic", self.from_grid_mat.astype(g.dtype), g
+        )
 
 
 @functools.lru_cache(maxsize=None)

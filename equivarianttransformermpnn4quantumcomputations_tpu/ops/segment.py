@@ -48,6 +48,8 @@ def segment_softmax(logits, segment_ids, num_segments: int, mask=None):
     Returns:
         [E, ...] normalized weights summing to 1 within each real segment.
     """
+    in_dtype = logits.dtype
+    logits = logits.astype(jnp.float32)  # softmax stats in f32 under bf16
     neg = jnp.asarray(-1e30, dtype=logits.dtype)
     if mask is not None:
         m = mask.reshape(mask.shape + (1,) * (logits.ndim - 1))
@@ -63,4 +65,4 @@ def segment_softmax(logits, segment_ids, num_segments: int, mask=None):
     if mask is not None:
         ex = ex * mask.reshape(mask.shape + (1,) * (ex.ndim - 1)).astype(ex.dtype)
     denom = jax.ops.segment_sum(ex, segment_ids, num_segments=num_segments)
-    return ex / jnp.maximum(denom[segment_ids], 1e-16)
+    return (ex / jnp.maximum(denom[segment_ids], 1e-16)).astype(in_dtype)

@@ -108,6 +108,25 @@ def ema_update(ema_params, params, decay: float = 0.999):
     )
 
 
+def cast_params(params, dtype):
+    """Compute-cast float params (mixed precision: f32 master, bf16 compute)."""
+    return jax.tree_util.tree_map(
+        lambda p: p.astype(dtype)
+        if jnp.issubdtype(p.dtype, jnp.floating)
+        else p,
+        params,
+    )
+
+
+def grads_to_f32(grads):
+    return jax.tree_util.tree_map(
+        lambda g: g.astype(jnp.float32)
+        if jnp.issubdtype(g.dtype, jnp.floating)
+        else g,
+        grads,
+    )
+
+
 # ── losses ───────────────────────────────────────────────────────────────────
 
 
@@ -139,7 +158,7 @@ def matpes_loss(
 ):
     """Reference train_MatPES_GATAWandB.py:79-81: L1 on per-atom energy +
     L1 on forces (+ L1 on stress)."""
-    e_pred = outs["energy"][:, 0]
+    e_pred = outs["energy"][:, 0].astype(jnp.float32)
     e_tgt = batch["energy"]
     e_l1 = jnp.mean(jnp.abs(e_pred - e_tgt))
     m = batch["node_mask"][:, None].astype(e_pred.dtype)
@@ -158,18 +177,30 @@ def matpes_loss(
 # ── train steps ──────────────────────────────────────────────────────────────
 
 
-def make_qm9_train_step(model, tx, loss_kind: str = "l1", ema_decay=0.999):
-    """Single-device QM9 train step; pure, jit-ready, donate-friendly."""
+def make_qm9_train_step(
+    model, tx, loss_kind: str = "l1", ema_decay=0.999,
+    mixed_precision: bool = False,
+):
+    """Single-device QM9 train step; pure, jit-ready, donate-friendly.
+
+    mixed_precision: compute-cast params to bf16 inside the loss (master
+    params stay f32; gradients come back f32 through the cast transpose).
+    Pair with model ``compute_dtype='bfloat16'``.
+    """
 
     def step(state: TrainState, batch, dropout_rng):
         def loss_fn(params):
+            if mixed_precision:
+                params = cast_params(params, jnp.bfloat16)
             pred = model.apply(
                 params,
                 batch,
                 deterministic=False,
                 rngs={"dropout": dropout_rng},
             )
-            return qm9_loss(pred, batch["y"], loss_kind)
+            return qm9_loss(
+                pred.astype(jnp.float32), batch["y"], loss_kind
+            )
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
@@ -192,6 +223,7 @@ def make_matpes_train_step(
     w_force: float = 1.0,
     w_stress: float = 0.0,
     ema_decay=0.999,
+    mixed_precision: bool = False,
 ):
     from ..models.matpes import (
         matpes_energy_forces_stress,
@@ -200,6 +232,8 @@ def make_matpes_train_step(
 
     def step(state: TrainState, batch, dropout_rng):
         def loss_fn(params):
+            if mixed_precision:
+                params = cast_params(params, jnp.bfloat16)
             if w_stress > 0.0:
                 outs = matpes_energy_forces_stress_pergraph(
                     model, params, batch,
