@@ -228,6 +228,12 @@ def matpes_energy_forces_stress(
         )
         return jnp.sum(outs["energy_total"]), outs
 
+    # checkpoint the inner energy evaluation: when the training loss is
+    # differentiated, the outer backward would otherwise store the *stacked*
+    # linearization residuals of this inner force pass (observed as
+    # [layers, chunks, grid, grid, C] multi-GB buffers); rematerializing
+    # trades that for one extra forward.
+    energy_fn = jax.checkpoint(energy_fn)
     strain0 = jnp.zeros((3, 3), dtype=batch["pos"].dtype)
     (grads, outs) = jax.grad(energy_fn, argnums=(0, 1), has_aux=True)(
         batch["pos"], strain0
@@ -272,6 +278,7 @@ def matpes_energy_forces_stress_pergraph(
         )
         return jnp.sum(outs["energy_total"]), outs
 
+    energy_fn = jax.checkpoint(energy_fn)  # see matpes_energy_forces_stress
     B = batch["cell"].shape[0]
     strain0 = jnp.zeros((B, 3, 3), dtype=batch["pos"].dtype)
     (grads, outs) = jax.grad(energy_fn, argnums=(0, 1), has_aux=True)(

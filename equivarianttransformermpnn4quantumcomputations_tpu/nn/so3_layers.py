@@ -49,9 +49,9 @@ class SO3Linear(nn.Module):
         expand = np.concatenate(
             [np.full(2 * l + 1, l) for l in range(self.lmax + 1)]
         )
-        wk = w[expand]  # [K, C_in, C_out]
+        wk = w[expand].astype(x.dtype)  # [K, C_in, C_out]
         out = jnp.einsum("nki,kio->nko", x, wk)
-        return out.at[:, 0, :].add(b)
+        return out.at[:, 0, :].add(b.astype(out.dtype))
 
 
 class SO2Conv(nn.Module):
@@ -107,7 +107,7 @@ class SO2Conv(nn.Module):
         b0 = self.param(
             "b_m0", nn.initializers.zeros, (self.extra_m0 + L0 * Cout,)
         )
-        y0 = x0 @ w0 + b0
+        y0 = x0 @ w0.astype(x0.dtype) + b0.astype(x0.dtype)
         if self.extra_m0:
             extra = y0[:, : self.extra_m0]
             y0 = y0[:, self.extra_m0 :]
@@ -131,13 +131,19 @@ class SO2Conv(nn.Module):
             wi = self.param(
                 f"w_m{m}_i", fan_in_normal(), (Lm * Cin, Lm * Cout)
             )
-            yr = xr @ wr - xi @ wi
-            yi = xr @ wi + xi @ wr
-            out_blocks.append(
-                jnp.concatenate(
-                    [yr.reshape(E, Lm, Cout), yi.reshape(E, Lm, Cout)], axis=1
-                )
+            # complex butterfly as ONE matmul:
+            #   [yr yi] = [xr xi] @ [[wr, wi], [-wi, wr]]
+            # (half the matmul launches, same FLOPs, better MXU tiling)
+            wbig = jnp.concatenate(
+                [
+                    jnp.concatenate([wr, wi], axis=1),
+                    jnp.concatenate([-wi, wr], axis=1),
+                ],
+                axis=0,
             )
+            xcat = jnp.concatenate([xr, xi], axis=1)
+            y = (xcat @ wbig.astype(xcat.dtype)).reshape(E, 2, Lm, Cout)
+            out_blocks.append(y.reshape(E, 2 * Lm, Cout))
             offset += 2 * Lm
 
         out_m = jnp.concatenate(out_blocks, axis=1)
