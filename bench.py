@@ -26,6 +26,7 @@ ATOMS_PER_GRAPH = int(os.environ.get("ETQ_BENCH_ATOMS", 30))
 N_PAD = int(os.environ.get("ETQ_BENCH_NPAD", 256))
 E_PAD = int(os.environ.get("ETQ_BENCH_EPAD", 5120))
 STEPS = int(os.environ.get("ETQ_BENCH_STEPS", 10))
+BF16 = os.environ.get("ETQ_BENCH_BF16", "0") == "1"
 
 
 def main():
@@ -63,6 +64,7 @@ def main():
         alpha_drop=0.0,
         drop_path_rate=0.0,
         scan_layers=True,   # one compiled block body; ~6x faster XLA compile
+        compute_dtype="bfloat16" if BF16 else "float32",
     )
 
     rng = np.random.default_rng(0)
@@ -74,7 +76,10 @@ def main():
     params = model.init(jax.random.PRNGKey(0), batch)
     tx = make_optimizer(warmup_cosine(2e-4, 100, 10000), weight_decay=1e-3)
     state = create_train_state(params, tx)
-    step = jax.jit(make_matpes_train_step(model, tx), donate_argnums=(0,))
+    step = jax.jit(
+        make_matpes_train_step(model, tx, mixed_precision=BF16),
+        donate_argnums=(0,),
+    )
 
     key = jax.random.PRNGKey(1)
     # compile + warmup

@@ -62,6 +62,11 @@ def s2_activation(x, grid: S2Grid):
     pts = grid.res_beta * grid.res_alpha
     full_bytes = N * pts * C * 4
 
+    # checkpoint: the SiLU's grid-space pre-activation [*, res_b, res_a, C]
+    # is ~pts/K (e.g. 13x) larger than the coefficient input — recomputing it
+    # in backward passes instead of storing it is what keeps grad-of-grad
+    # force training inside HBM (residual = the small coefficient tensor).
+    @jax.checkpoint
     def act(xc):
         return grid.from_grid(jax.nn.silu(grid.to_grid(xc)))
 
