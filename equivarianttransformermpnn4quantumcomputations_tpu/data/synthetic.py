@@ -73,27 +73,35 @@ class SyntheticCrystals:
 
     def __init__(self, n_samples=32, n_atoms=6, seed=0):
         rng = np.random.default_rng(seed)
-        self.samples = []
+        raw = []
         for _ in range(n_samples):
-            cell = (np.eye(3) * 5.0 + rng.normal(size=(3, 3)) * 0.2).astype(
+            cell = (np.eye(3) * 6.0 + rng.normal(size=(3, 3)) * 0.2).astype(
                 np.float32
             )
-            pos = (rng.uniform(0.1, 0.9, size=(n_atoms, 3)) @ cell).astype(
-                np.float32
-            )
+            # jittered sub-lattice: atoms can't overlap -> bounded LJ
+            frac = (
+                rng.permutation(8)[:n_atoms][:, None]
+                * np.array([[0.53, 0.31, 0.17]])
+                % 1.0
+            ) + rng.uniform(-0.04, 0.04, size=(n_atoms, 3))
+            pos = (frac @ cell).astype(np.float32)
             z = rng.integers(1, 30, size=n_atoms).astype(np.int32)
             e, f = _lj_energy_forces(pos)
-            self.samples.append(
-                GraphSample(
-                    atomic_numbers=z,
-                    pos=pos,
-                    cell=cell,
-                    pbc=True,
-                    energy=e / n_atoms,
-                    forces=f,
-                    stress=np.zeros(6, np.float32),
-                )
+            raw.append((z, pos, cell, e, f))
+        es = np.asarray([r[3] / n_atoms for r in raw])
+        mu, sd = es.mean(), max(es.std(), 1e-6)
+        self.samples = [
+            GraphSample(
+                atomic_numbers=z,
+                pos=pos,
+                cell=cell,
+                pbc=True,
+                energy=(e / n_atoms - mu) / sd,
+                forces=(f / sd).astype(np.float32),
+                stress=np.zeros(6, np.float32),
             )
+            for z, pos, cell, e, f in raw
+        ]
 
     def __len__(self):
         return len(self.samples)

@@ -60,6 +60,14 @@ def main(argv=None):
         "no-attn-norm": mp_cfg.config_no_attn_norm,
         "phi-every-layer": mp_cfg.config_phi_every_layer,
         "baseline": mp_cfg.config_baseline_efv2,
+        "synthetic": {
+            **mp_cfg.config_debug,
+            "synthetic": True,
+            "max_train": 48,
+            "max_val": 16,
+            "cutoff": 5.0,
+            "run_dir": "runs/matpes_synthetic",
+        },
     }[args.config].copy()
     if args.epochs is not None:
         cfg["epochs"] = args.epochs
@@ -75,14 +83,22 @@ def main(argv=None):
     from .schedules import warmup_cosine
     from .trainer import create_train_state, make_matpes_train_step, make_optimizer
 
-    train_ds, val_ds, test_ds, stats = load_matpes(
-        cfg["data_path"],
-        cfg.get("split_path"),
-        cfg.get("cache_dir"),
-        cfg.get("max_train"),
-        cfg.get("max_val"),
-        cfg.get("max_test"),
-    )
+    if cfg.get("synthetic"):
+        # pymatgen-free end-to-end path (LJ crystals; see data/synthetic.py)
+        from ..data.synthetic import SyntheticCrystals
+
+        train_ds = SyntheticCrystals(n_samples=cfg.get("max_train") or 64)
+        val_ds = SyntheticCrystals(n_samples=cfg.get("max_val") or 16, seed=1)
+        stats = {"energy_mean": 0.0, "energy_std": 1.0}
+    else:
+        train_ds, val_ds, test_ds, stats = load_matpes(
+            cfg["data_path"],
+            cfg.get("split_path"),
+            cfg.get("cache_dir"),
+            cfg.get("max_train"),
+            cfg.get("max_val"),
+            cfg.get("max_test"),
+        )
     n_pad, e_pad = infer_pad_sizes(
         train_ds, cfg["cutoff"], cfg["max_neighbors"], cfg["batch_size"]
     )
