@@ -53,8 +53,13 @@ def gate_activation(gating_scalars, x, lmax: int, mmax: int, num_channels: int):
 # AD residuals), so the threshold only needs to bound the *live* working set:
 # keep it high — fine-grained chunking serializes the MXU and costs far more
 # than it saves (measured 3x step-time regression at 32 MB chunks).
-_CHUNK_THRESHOLD = 1024 * 1024 * 1024
-_CHUNK_TARGET = 256 * 1024 * 1024
+import os
+
+_CHUNK_THRESHOLD = int(
+    os.environ.get("ETQ_S2_CHUNK_THRESHOLD_MB", 1024)
+) * 1024 * 1024
+_CHUNK_TARGET = int(os.environ.get("ETQ_S2_CHUNK_MB", 256)) * 1024 * 1024
+_S2_CKPT = os.environ.get("ETQ_S2_CKPT", "1") == "1"
 
 
 def s2_activation(x, grid: S2Grid):
@@ -70,9 +75,11 @@ def s2_activation(x, grid: S2Grid):
     # is ~pts/K (e.g. 13x) larger than the coefficient input — recomputing it
     # in backward passes instead of storing it is what keeps grad-of-grad
     # force training inside HBM (residual = the small coefficient tensor).
-    @jax.checkpoint
     def act(xc):
         return grid.from_grid(jax.nn.silu(grid.to_grid(xc)))
+
+    if _S2_CKPT:
+        act = jax.checkpoint(act)
 
     if full_bytes <= _CHUNK_THRESHOLD:
         return act(x)
