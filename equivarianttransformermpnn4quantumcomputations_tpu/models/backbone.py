@@ -243,6 +243,12 @@ class EquiformerV2Backbone(nn.Module):
         )
         edge_scalars_c = edge_scalars.astype(cdt)
         phi_c = phi_r.astype(cdt) if self.use_phi_every_layer else None
+        if t_ij is not None:
+            t_ij = t_ij.astype(cdt)
+        if rl_ij is not None:
+            rl_ij = rl_ij.astype(cdt)
+        if a_ij is not None:
+            a_ij = a_ij.astype(cdt)
 
         def unpack(out, prev_t, prev_a):
             if self.gata and self.dual_stream:

@@ -278,4 +278,9 @@ class BlockScanBody(nn.Module):
             new_carry = out + (a_ij,)
         else:
             new_carry = (out, t_ij, a_ij)
+        # lax.scan requires a type-stable carry; un-cast params (f32) with a
+        # bf16 compute dtype would otherwise promote the carry to f32
+        new_carry = jax.tree_util.tree_map(
+            lambda n, o: n.astype(o.dtype), new_carry, carry
+        )
         return new_carry, None

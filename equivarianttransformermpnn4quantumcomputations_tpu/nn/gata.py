@@ -47,6 +47,7 @@ class HTR(nn.Module):
     def __call__(self, t_ij, X_i, X_j, rl_ij):
         """t_ij [E, edge_C]; X_i/X_j [E, K-1, sphere_C]; rl_ij [E, K-1]."""
         hidden = self.hidden_channels or self.edge_channels
+        rl_ij = rl_ij.astype(X_i.dtype)
 
         q = Dense(hidden, use_bias=False, name="W_vq")(X_i)  # [E, K-1, H]
 
@@ -104,6 +105,7 @@ class GATAValueActivation(nn.Module):
     def __call__(self, attn_output, t_ij, h_j, X_j, rl_ij, phi_r=None):
         C = self.hidden_channels
         S = 1 + 2 * self.lmax
+        rl_ij = rl_ij.astype(attn_output.dtype)
 
         bias = Dense(S * C, name="W_rs")(t_ij) * jax.nn.silu(
             Dense(S * C, name="gamma_s")(h_j)
