@@ -149,6 +149,9 @@ class PaddedBatch:
     atomic_numbers: np.ndarray   # [N_pad] int32 (0 = padding)
     pos: np.ndarray              # [N_pad, 3] f32
     graph_idx: np.ndarray        # [N_pad] int32
+    node_slot: np.ndarray        # [N_pad] int32: index within its graph
+                                 # (out-of-range sentinel for padding — jax
+                                 # scatters drop OOB updates)
     node_mask: np.ndarray        # [N_pad] bool
     natoms: np.ndarray           # [B] int32
     edge_src: np.ndarray         # [E_pad] int32
@@ -166,6 +169,7 @@ class PaddedBatch:
             "atomic_numbers": self.atomic_numbers,
             "pos": self.pos,
             "graph_idx": self.graph_idx,
+            "node_slot": self.node_slot,
             "node_mask": self.node_mask,
             "natoms": self.natoms,
             "edge_src": self.edge_src,
@@ -199,6 +203,7 @@ def collate(
     az = np.zeros(n_pad, np.int32)
     pos = np.zeros((n_pad, 3), np.float32)
     gidx = np.zeros(n_pad, np.int32)
+    nslot = np.full(n_pad, 2**30, np.int32)  # OOB sentinel for padding
     nmask = np.zeros(n_pad, bool)
     natoms = np.zeros(B, np.int32)
     esrc = np.zeros(e_pad, np.int32)
@@ -226,6 +231,7 @@ def collate(
         az[sl] = s.atomic_numbers[:n]
         pos[sl] = s.pos[:n]
         gidx[sl] = b
+        nslot[sl] = np.arange(n)
         nmask[sl] = True
         natoms[b] = n
         if s.cell is not None:
@@ -259,6 +265,7 @@ def collate(
         atomic_numbers=az,
         pos=pos,
         graph_idx=gidx,
+        node_slot=nslot,
         node_mask=nmask,
         natoms=natoms,
         edge_src=esrc,

@@ -67,6 +67,9 @@ class EquiformerV2MatPES(nn.Module):
     # | 'htr_rope'
     global_attn: str | None = None
     global_attn_heads: int = 8
+    # dense per-graph packing for the scalar global attention: O(B n^2)
+    # instead of O((Bn)^2); set to the max atoms per graph (static)
+    global_attn_dense_n_max: int | None = None
     # FFN variants (MoE / dual-stream forks)
     ffn_variant: str = "standard"
     num_experts: int = 4
@@ -144,7 +147,20 @@ class EquiformerV2MatPES(nn.Module):
                     d_model=self.sphere_channels,
                     num_heads=self.global_attn_heads,
                     name="global_attn",
-                )(x[:, 0, :], gm, nm, pos, deterministic=deterministic)
+                )(
+                    x[:, 0, :], gm, nm, pos, deterministic=deterministic,
+                    node_slot=(
+                        batch["node_slot"]
+                        if self.global_attn_dense_n_max
+                        else None
+                    ),
+                    n_max=self.global_attn_dense_n_max,
+                    num_graphs=(
+                        batch["cell"].shape[0]
+                        if self.global_attn_dense_n_max
+                        else None
+                    ),
+                )
                 x = jnp.concatenate([scal[:, None, :], x[:, 1:, :]], axis=1)
             elif self.global_attn == "full":
                 x = GlobalFullAttention(

@@ -42,6 +42,9 @@ __all__ = [
     "GlobalFullAttention",
     "GlobalFullEquivariantAttention",
     "GlobalHTRAttention",
+    "to_dense",
+    "from_dense",
+    "dense_mask",
 ]
 
 _NEG = -1e30
@@ -55,6 +58,28 @@ def _pair_mask(graph_idx, node_mask, exclude_self: bool = False):
     if exclude_self:
         m = m & ~jnp.eye(graph_idx.shape[0], dtype=bool)
     return m
+
+
+def to_dense(x, graph_idx, node_slot, num_graphs: int, n_max: int):
+    """Pack flat node features [N, ...] into per-graph dense [B, n_max, ...].
+
+    Padding nodes carry an out-of-bounds node_slot sentinel — jax scatter
+    drops them.  O(B n^2) attention on the dense form beats the flat masked
+    [N, N] form by ~B x.
+    """
+    dense = jnp.zeros((num_graphs, n_max) + x.shape[1:], x.dtype)
+    return dense.at[graph_idx, node_slot].set(x, mode="drop")
+
+
+def from_dense(dense, graph_idx, node_slot):
+    """Gather per-graph dense features back to the flat node axis."""
+    slot = jnp.minimum(node_slot, dense.shape[1] - 1)
+    return dense[graph_idx, slot]
+
+
+def dense_mask(node_mask, graph_idx, node_slot, num_graphs: int, n_max: int):
+    m = jnp.zeros((num_graphs, n_max), bool)
+    return m.at[graph_idx, node_slot].set(node_mask, mode="drop")
 
 
 def _masked_softmax(logits, mask):
@@ -97,26 +122,93 @@ class GlobalScalarAttention(nn.Module):
     rope_dim: int = 16
 
     @nn.compact
-    def __call__(self, x, graph_idx, node_mask, pos, deterministic=True):
-        """x: [N, C] scalar features -> [N, C]."""
+    def __call__(
+        self, x, graph_idx, node_mask, pos, deterministic=True,
+        node_slot=None, n_max: int | None = None, num_graphs: int | None = None,
+    ):
+        """x: [N, C] scalar features -> [N, C].
+
+        When (node_slot, n_max, num_graphs) are given, attention runs on the
+        per-graph dense packing [B, n_max] — O(B n^2) instead of O((Bn)^2),
+        identical results and parameters to the flat masked path.
+        """
         N = x.shape[0]
         H, D = self.num_heads, self.d_model // self.num_heads
         qkv = Dense(3 * self.d_model, use_bias=False, name="qkv_proj")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        q = q.reshape(N, H, D)
-        k = k.reshape(N, H, D)
-        v = v.reshape(N, H, D)
 
-        logits = jnp.einsum("ihd,jhd->hij", q, k) / np.sqrt(D)
-        pm = _pair_mask(graph_idx, node_mask)
-        if self.use_rope:
-            logits = logits + _RopeBias(H, self.rope_dim, name="rope")(pos, pm)
-        attn = _masked_softmax(logits, pm[None])
-        if self.dropout > 0.0:
-            attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
-        out = jnp.einsum("hij,jhd->ihd", attn, v).reshape(N, self.d_model)
+        dense = node_slot is not None and n_max is not None and num_graphs
+        if dense:
+            B = num_graphs
+            qd = to_dense(q, graph_idx, node_slot, B, n_max).reshape(
+                B, n_max, H, D
+            )
+            kd = to_dense(k, graph_idx, node_slot, B, n_max).reshape(
+                B, n_max, H, D
+            )
+            vd = to_dense(v, graph_idx, node_slot, B, n_max).reshape(
+                B, n_max, H, D
+            )
+            dm = dense_mask(node_mask, graph_idx, node_slot, B, n_max)
+            logits = jnp.einsum("bihd,bjhd->bhij", qd, kd) / np.sqrt(D)
+            if self.use_rope:
+                posd = to_dense(
+                    jax.lax.stop_gradient(pos), graph_idx, node_slot, B, n_max
+                )
+                diff = posd[:, :, None, :] - posd[:, None, :, :]
+                dist = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, -1), 1e-12))
+                freqs = self.param(
+                    "rope_freqs",
+                    lambda key, s: jax.random.normal(key, s) * 0.1,
+                    (self.rope_dim,),
+                )
+                fourier = jnp.cos(dist[..., None] * jnp.abs(freqs))
+                bias = Dense(H, use_bias=False, name="rope_proj")(fourier)
+                pmd = dm[:, :, None] & dm[:, None, :]
+                bias = jnp.where(pmd[..., None], bias, 0.0)
+                logits = logits + jnp.moveaxis(bias, -1, 1)
+            pm = (dm[:, None, None, :]).astype(bool)
+            logits = jnp.where(pm, logits, _NEG)
+            attn = jax.nn.softmax(logits, axis=-1)
+            attn = jnp.where(pm, attn, 0.0)
+            if self.dropout > 0.0:
+                attn = nn.Dropout(self.dropout)(
+                    attn, deterministic=deterministic
+                )
+            outd = jnp.einsum("bhij,bjhd->bihd", attn, vd).reshape(
+                B, n_max, self.d_model
+            )
+            out = from_dense(outd, graph_idx, node_slot)
+            out = out * node_mask[:, None].astype(out.dtype)
+        else:
+            q = q.reshape(N, H, D)
+            k = k.reshape(N, H, D)
+            v = v.reshape(N, H, D)
+            logits = jnp.einsum("ihd,jhd->hij", q, k) / np.sqrt(D)
+            pm = _pair_mask(graph_idx, node_mask)
+            if self.use_rope:
+                posf = jax.lax.stop_gradient(pos)
+                diff = posf[:, None, :] - posf[None, :, :]
+                dist = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, -1), 1e-12))
+                freqs = self.param(
+                    "rope_freqs",
+                    lambda key, sh: jax.random.normal(key, sh) * 0.1,
+                    (self.rope_dim,),
+                )
+                fourier = jnp.cos(dist[..., None] * jnp.abs(freqs))
+                bias = Dense(H, use_bias=False, name="rope_proj")(fourier)
+                bias = jnp.where(pm[..., None], bias, 0.0)
+                logits = logits + jnp.moveaxis(bias, -1, 0)
+            attn = _masked_softmax(logits, pm[None])
+            if self.dropout > 0.0:
+                attn = nn.Dropout(self.dropout)(
+                    attn, deterministic=deterministic
+                )
+            out = jnp.einsum("hij,jhd->ihd", attn, v).reshape(N, self.d_model)
         out = Dense(self.d_model, use_bias=False, name="out_proj")(out)
         return nn.LayerNorm(name="norm")(x + out)
+
+
 
 
 class GlobalFullAttention(nn.Module):

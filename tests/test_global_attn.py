@@ -76,6 +76,20 @@ def test_cross_graph_isolation():
     assert not np.allclose(ea[1], eb[1], atol=1e-4)
 
 
+def test_dense_packing_matches_flat():
+    """Dense per-graph scalar attention == flat masked, same params."""
+    rng = np.random.default_rng(3)
+    g0, g1 = mol(rng, n=5), mol(rng, n=4)
+    ms = {**TINY, "global_attn": "scalar"}
+    flat_model = EquiformerV2MatPES(**ms)
+    dense_model = EquiformerV2MatPES(**ms, global_attn_dense_n_max=6)
+    b = to_jnp(collate([g0, g1], 5.0, 20, n_pad=12, e_pad=64))
+    params = flat_model.init(jax.random.PRNGKey(0), b)
+    e_flat = np.asarray(flat_model.apply(params, b)["energy_total"])
+    e_dense = np.asarray(dense_model.apply(params, b)["energy_total"])
+    assert np.allclose(e_flat, e_dense, atol=1e-4), (e_flat, e_dense)
+
+
 def test_scalar_global_attn_invariance():
     """Scalar global attention (RoPE uses distances only): energy invariant
     under rotation with gate activations."""
