@@ -26,7 +26,9 @@ ATOMS_PER_GRAPH = int(os.environ.get("ETQ_BENCH_ATOMS", 30))
 N_PAD = int(os.environ.get("ETQ_BENCH_NPAD", 256))
 E_PAD = int(os.environ.get("ETQ_BENCH_EPAD", 5120))
 STEPS = int(os.environ.get("ETQ_BENCH_STEPS", 10))
-BF16 = os.environ.get("ETQ_BENCH_BF16", "0") == "1"
+# bf16 compute (f32 master params + norms) is the TPU-native design point
+BF16 = os.environ.get("ETQ_BENCH_BF16", "1") == "1"
+REMAT = os.environ.get("ETQ_BENCH_REMAT", "1") == "1"
 
 
 def main():
@@ -65,6 +67,7 @@ def main():
         drop_path_rate=0.0,
         scan_layers=True,   # one compiled block body; ~6x faster XLA compile
         compute_dtype="bfloat16" if BF16 else "float32",
+        remat=REMAT,
     )
 
     rng = np.random.default_rng(0)

@@ -60,6 +60,8 @@ _CHUNK_THRESHOLD = int(
 ) * 1024 * 1024
 _CHUNK_TARGET = int(os.environ.get("ETQ_S2_CHUNK_MB", 256)) * 1024 * 1024
 _S2_CKPT = os.environ.get("ETQ_S2_CKPT", "1") == "1"
+# fused Pallas kernel (ops/pallas/s2act.py): grid tensors never touch HBM.
+_S2_FUSED = os.environ.get("ETQ_S2_FUSED", "1") == "1"
 
 
 def s2_activation(x, grid: S2Grid):
@@ -70,6 +72,11 @@ def s2_activation(x, grid: S2Grid):
     N, K, C = x.shape
     pts = grid.res_beta * grid.res_alpha
     full_bytes = N * pts * C * 4
+
+    if _S2_FUSED and jax.default_backend() == "tpu":
+        from ..ops.pallas.s2act import s2act_fused
+
+        return s2act_fused(x, grid)
 
     # checkpoint: the SiLU's grid-space pre-activation [*, res_b, res_a, C]
     # is ~pts/K (e.g. 13x) larger than the coefficient input — recomputing it

@@ -1,0 +1,220 @@
+"""Pallas TPU kernel: fused S2 point-sample activation (+ its derivatives).
+
+The S2 activation  out = F^T silu(A x)  (to-grid -> SiLU -> from-grid,
+ops/s2grid.py) is the #1 hot op of the network: the grid tensor
+``[N, res_b*res_a, C]`` is ~pts/K (e.g. 324/19 = 17x) larger than the
+coefficient tensor, so the XLA path is HBM-bandwidth-bound writing/reading it
+(measured 11.3 ms at [10240, 19, 128] grid 18x18 on v5e — vs 0.05 ms for the
+SO2 conv GEMMs).  This kernel keeps the grid representation entirely in VMEM
+per node-tile: HBM traffic drops to the coefficient tensors only (~17x less).
+
+Derivative structure (force training needs reverse-over-reverse):
+* level-1 custom_vjp: fwd kernel K1, bwd -> ``_s2act_bwd`` (a function);
+* ``_s2act_bwd`` is itself a custom_vjp: fwd kernel K2
+  (dx = A^T (silu'(Ax) . (F dout))), bwd kernel K3 producing the
+  second-order cotangents:
+      ddout = F^T (silu'(Ax) . (A ddx))
+      dx2   = A^T (silu''(Ax) . (F dout) . (A ddx))
+  K3 is never differentiated further (training losses need exactly 2nd
+  order), so the chain terminates.
+
+All kernels tile the node axis; tables A (to-grid, [P, K]) and F (from-grid,
+[P, K]) are small constants resident in VMEM.  Works in interpret mode on
+CPU (used by the tests).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+try:  # TPU-only module; absent on CPU builds of pallas
+    from jax.experimental.pallas import tpu as pltpu
+
+    _VMEM = pltpu.VMEM
+except Exception:  # pragma: no cover
+    pltpu = None
+    _VMEM = None
+
+__all__ = ["s2act_fused", "s2act_reference"]
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _block_spec(shape, index_map=None):
+    kwargs = {}
+    if _VMEM is not None:
+        kwargs["memory_space"] = _VMEM
+    return pl.BlockSpec(shape, index_map, **kwargs)
+
+
+def _silu(z):
+    return z * jax.nn.sigmoid(z)
+
+
+def _silu_d1(z):
+    s = jax.nn.sigmoid(z)
+    return s * (1.0 + z * (1.0 - s))
+
+
+def _silu_d2(z):
+    s = jax.nn.sigmoid(z)
+    return s * (1.0 - s) * (2.0 + z * (1.0 - 2.0 * s))
+
+
+def _tile_n(P: int, C: int, n_bufs: int) -> int:
+    # keep n_bufs grid-sized buffers + slack under ~10 MB of VMEM
+    budget = 8 * 1024 * 1024
+    t = budget // max(1, n_bufs * P * C * 4)
+    t = max(8, min(128, int(t)))
+    return 1 << (t.bit_length() - 1)  # floor pow2
+
+
+def _k1(a_ref, f_ref, x_ref, o_ref):
+    A = a_ref[:]
+    F = f_ref[:]
+    x = x_ref[:].astype(jnp.float32)
+    g = jax.lax.dot_general(
+        A, x, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [P, T, C]
+    sg = _silu(g)
+    out = jax.lax.dot_general(
+        F, sg, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [K, T, C]
+    o_ref[:] = jnp.transpose(out, (1, 0, 2)).astype(o_ref.dtype)
+
+
+def _k2(a_ref, f_ref, x_ref, do_ref, dx_ref):
+    A = a_ref[:]
+    F = f_ref[:]
+    x = x_ref[:].astype(jnp.float32)
+    do = do_ref[:].astype(jnp.float32)
+    g = jax.lax.dot_general(
+        A, x, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    h = jax.lax.dot_general(
+        F, do, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    w = _silu_d1(g) * h
+    dx = jax.lax.dot_general(
+        A, w, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [K, T, C]
+    dx_ref[:] = jnp.transpose(dx, (1, 0, 2)).astype(dx_ref.dtype)
+
+
+def _k3(a_ref, f_ref, x_ref, do_ref, ddx_ref, ddo_ref, dx2_ref):
+    A = a_ref[:]
+    F = f_ref[:]
+    x = x_ref[:].astype(jnp.float32)
+    do = do_ref[:].astype(jnp.float32)
+    ddx = ddx_ref[:].astype(jnp.float32)
+    g = jax.lax.dot_general(
+        A, x, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    u = jax.lax.dot_general(
+        A, ddx, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    h = jax.lax.dot_general(
+        F, do, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ddo = jax.lax.dot_general(
+        F, _silu_d1(g) * u, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dx2 = jax.lax.dot_general(
+        A, _silu_d2(g) * h * u, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ddo_ref[:] = jnp.transpose(ddo, (1, 0, 2)).astype(ddo_ref.dtype)
+    dx2_ref[:] = jnp.transpose(dx2, (1, 0, 2)).astype(dx2_ref.dtype)
+
+
+def _call(kernel, A, F, inputs, n_out: int, n_grid_bufs: int):
+    """Tile the node axis and invoke ``kernel`` (tables first)."""
+    x = inputs[0]
+    N, K, C = x.shape
+    P = A.shape[0]
+    T = _tile_n(P, C, n_grid_bufs)
+    n_tiles = -(-N // T)
+    pad = n_tiles * T - N
+    padded = [jnp.pad(v, ((0, pad), (0, 0), (0, 0))) for v in inputs]
+
+    table_spec = _block_spec((P, K), lambda i: (0, 0))
+    io_spec = _block_spec((T, K, C), lambda i: (i, 0, 0))
+    out_shapes = tuple(
+        jax.ShapeDtypeStruct((n_tiles * T, K, C), x.dtype)
+        for _ in range(n_out)
+    )
+    out_specs = tuple(io_spec for _ in range(n_out))
+    res = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[table_spec, table_spec] + [io_spec] * len(inputs),
+        out_specs=out_specs if n_out > 1 else out_specs[0],
+        out_shape=out_shapes if n_out > 1 else out_shapes[0],
+        interpret=_interpret(),
+    )(A, F, *padded)
+    if n_out == 1:
+        return res[:N]
+    return tuple(r[:N] for r in res)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_ops(grid_key):
+    """Build the custom_vjp chain for one S2 grid (tables closed over)."""
+    from ..s2grid import s2grid
+
+    grid = s2grid(*grid_key)
+    P = grid.res_beta * grid.res_alpha
+    K = grid.to_grid_mat.shape[-1]
+    A = grid.to_grid_mat.reshape(P, K)
+    F = grid.from_grid_mat.reshape(P, K)
+
+    # ── level 2: first backward, itself differentiable once ─────────────
+    @jax.custom_vjp
+    def s2_bwd(x, dout):
+        return _call(_k2, A, F, (x, dout), n_out=1, n_grid_bufs=3)
+
+    def s2_bwd_fwd(x, dout):
+        return s2_bwd(x, dout), (x, dout)
+
+    def s2_bwd_bwd(res, ddx):
+        x, dout = res
+        ddout, dx2 = _call(
+            _k3, A, F, (x, dout, ddx), n_out=2, n_grid_bufs=4
+        )
+        return dx2, ddout
+
+    s2_bwd.defvjp(s2_bwd_fwd, s2_bwd_bwd)
+
+    # ── level 1: the activation ──────────────────────────────────────────
+    @jax.custom_vjp
+    def s2_act(x):
+        return _call(_k1, A, F, (x,), n_out=1, n_grid_bufs=2)
+
+    def s2_act_fwd(x):
+        return s2_act(x), x
+
+    def s2_act_bwd(x, dout):
+        return (s2_bwd(x, dout),)
+
+    s2_act.defvjp(s2_act_fwd, s2_act_bwd)
+    return s2_act
+
+
+def s2act_fused(x, grid):
+    """Fused S2 activation for an S2Grid (see module docstring)."""
+    return _make_ops(grid.cache_key)(x)
+
+
+def s2act_reference(x, grid):
+    """Plain-XLA reference (for tests)."""
+    return grid.from_grid(jax.nn.silu(grid.to_grid(x)))

@@ -40,6 +40,7 @@ class S2Grid:
     def __init__(self, lmax: int, mmax: int, resolution: int | None = None):
         self.lmax = lmax
         self.mmax = mmax
+        self.cache_key = (lmax, mmax, resolution)
         if resolution is not None:
             res_beta = res_alpha = int(resolution)
         else:

@@ -16,15 +16,42 @@ import jax.numpy as jnp
 __all__ = ["segment_sum", "segment_mean", "segment_softmax"]
 
 
-def segment_sum(values, segment_ids, num_segments: int, mask=None):
+import os
+
+# TPU scatter-add is serialized and slow (~2.7 ms for a [10k, 25, 128]
+# reduction); a one-hot matmul runs on the MXU instead.  The one-hot is
+# built on the fly (fused compare), FLOPs 2*E*N*D — cheap at these sizes.
+_MATMUL_SEGMENT_MAX_ELEMS = int(
+    os.environ.get("ETQ_SEGSUM_MATMUL_MAX", 64_000_000)
+)
+
+
+def segment_sum(values, segment_ids, num_segments: int, mask=None,
+                method: str = "auto"):
     """Sum ``values`` ([E, ...]) into ``num_segments`` buckets.
 
-    Padded entries (mask False) contribute zero.
+    Padded entries (mask False) contribute zero.  method: 'auto' | 'scatter'
+    | 'matmul' (one-hot GEMM — much faster than scatter on TPU for the
+    message-aggregation shapes here).
     """
     if mask is not None:
         values = values * mask.astype(values.dtype).reshape(
             mask.shape + (1,) * (values.ndim - 1)
         )
+    E = values.shape[0]
+    use_matmul = method == "matmul" or (
+        method == "auto"
+        and values.ndim > 1
+        and E * num_segments <= _MATMUL_SEGMENT_MAX_ELEMS
+    )
+    if use_matmul:
+        onehot = (
+            segment_ids[:, None]
+            == jnp.arange(num_segments, dtype=segment_ids.dtype)[None, :]
+        ).astype(values.dtype)
+        flat = values.reshape(E, -1)
+        out = jnp.einsum("en,ed->nd", onehot, flat)
+        return out.reshape((num_segments,) + values.shape[1:])
     return jax.ops.segment_sum(
         values, segment_ids, num_segments=num_segments
     )
