@@ -244,6 +244,12 @@ def collate(
             src, dst, shift = radius_graph(
                 s.pos[:n].astype(np.float64), cutoff, max_neighbors
             )
+        # INVARIANT: edges sorted by dst within each graph; graphs appended
+        # in node-offset order => edge_dst is globally non-decreasing over
+        # real edges.  The sorted-segment (scan-based, scatter-free) softmax
+        # in ops/segment.py relies on this.
+        order = np.argsort(dst, kind="stable")
+        src, dst, shift = src[order], dst[order], shift[order]
         e = min(src.size, e_pad - edge_off)
         esl = slice(edge_off, edge_off + e)
         esrc[esl] = src[:e] + node_off

@@ -170,8 +170,11 @@ class GraphAttention(nn.Module):
                 (self.num_heads, self.attn_alpha_channels),
             )
             logits = jnp.einsum("ehk,hk->eh", a, dot)
+            # sorted_ids: collate emits edges sorted by dst (data/graph.py
+            # invariant) -> scatter-free scan-based softmax
             return segment_softmax(
-                logits, edge_dst, num_segments=num_nodes, mask=edge_mask
+                logits, edge_dst, num_segments=num_nodes, mask=edge_mask,
+                sorted_ids=True,
             )
 
         # ── value activation ──────────────────────────────────────────────

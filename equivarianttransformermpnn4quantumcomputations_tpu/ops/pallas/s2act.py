@@ -175,8 +175,10 @@ def _make_ops(grid_key):
     grid = s2grid(*grid_key)
     P = grid.res_beta * grid.res_alpha
     K = grid.to_grid_mat.shape[-1]
-    A = grid.to_grid_mat.reshape(P, K)
-    F = grid.from_grid_mat.reshape(P, K)
+    # numpy (not jnp): building these under an active jit trace would create
+    # and cache tracers (UnexpectedTracerError on the next trace)
+    A = np.asarray(grid.to_grid_mat, dtype=np.float32).reshape(P, K)
+    F = np.asarray(grid.from_grid_mat, dtype=np.float32).reshape(P, K)
 
     # ── level 2: first backward, itself differentiable once ─────────────
     @jax.custom_vjp

@@ -65,16 +65,87 @@ def segment_mean(values, segment_ids, num_segments: int, mask=None):
     return s / jnp.maximum(cnt, 1.0)
 
 
-def segment_softmax(logits, segment_ids, num_segments: int, mask=None):
+def _seg_scan_combine(a, b):
+    """Associative combine for segmented (max, sum) scans.
+
+    carry = (maxv, sumv, flag); flag True = start of a new segment at the
+    left edge of the element's range.
+    """
+    m1, s1, f1 = a
+    m2, s2, f2 = b
+    f2e = f2.reshape(f2.shape + (1,) * (m1.ndim - f2.ndim))
+    m = jnp.where(f2e, m2, jnp.maximum(m1, m2))
+    s = jnp.where(f2e, s2, s1 + s2)
+    return m, s, f1 | f2
+
+
+def segment_softmax_sorted(logits, segment_ids, mask=None):
+    """Scatter-free segment softmax for dst-SORTED edges.
+
+    Uses forward+backward segmented associative scans (VPU-only; TPU
+    scatter-adds are serialized and ~50x slower at these shapes).  Requires
+    ``segment_ids`` non-decreasing over real entries with padding entries
+    contiguous (the data/graph.py collate invariant).
+    """
+    in_dtype = logits.dtype
+    logits = logits.astype(jnp.float32)
+    neg = jnp.asarray(-1e30, dtype=logits.dtype)
+    if mask is not None:
+        m = mask.reshape(mask.shape + (1,) * (logits.ndim - 1))
+        logits = jnp.where(m, logits, neg)
+
+    boundary = jnp.concatenate(
+        [
+            jnp.ones((1,), bool),
+            segment_ids[1:] != segment_ids[:-1],
+        ]
+    )
+
+    def seg_reduce(vals):
+        """Per-element (segment max, segment sum) over the FULL segment."""
+        # forward inclusive scan: prefix (max, sum) within segment
+        fm, fs, _ = jax.lax.associative_scan(
+            _seg_scan_combine, (vals, vals, boundary)
+        )
+        # backward: suffix within segment (recompute boundaries for the
+        # reversed id sequence)
+        rev_ids = segment_ids[::-1]
+        rb = jnp.concatenate(
+            [jnp.ones((1,), bool), rev_ids[1:] != rev_ids[:-1]]
+        )
+        bm, bs, _ = jax.lax.associative_scan(
+            _seg_scan_combine, (vals[::-1], vals[::-1], rb)
+        )
+        bm, bs = bm[::-1], bs[::-1]
+        seg_max = jnp.maximum(fm, bm)
+        seg_sum = fs + bs - vals
+        return seg_max, seg_sum
+
+    seg_max, _ = seg_reduce(logits)
+    seg_max = jax.lax.stop_gradient(jnp.maximum(seg_max, neg))
+    ex = jnp.exp(logits - seg_max)
+    if mask is not None:
+        ex = ex * mask.reshape(mask.shape + (1,) * (ex.ndim - 1)).astype(
+            ex.dtype
+        )
+    _, denom = seg_reduce(ex)
+    return (ex / jnp.maximum(denom, 1e-16)).astype(in_dtype)
+
+
+def segment_softmax(logits, segment_ids, num_segments: int, mask=None,
+                    sorted_ids: bool = False):
     """Numerically-stable softmax over segments of the leading axis.
 
     Args:
         logits: [E, ...] attention logits (softmax along axis 0 within segments).
         segment_ids: [E] target-node index per edge.
         mask: [E] bool, False for padded edges (their weight becomes 0).
+        sorted_ids: if True, use the scatter-free sorted-scan path.
     Returns:
         [E, ...] normalized weights summing to 1 within each real segment.
     """
+    if sorted_ids:
+        return segment_softmax_sorted(logits, segment_ids, mask)
     in_dtype = logits.dtype
     logits = logits.astype(jnp.float32)  # softmax stats in f32 under bf16
     neg = jnp.asarray(-1e30, dtype=logits.dtype)

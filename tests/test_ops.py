@@ -199,6 +199,61 @@ def test_segment_softmax_masked():
     assert np.isfinite(w).all()
 
 
+def test_segment_softmax_sorted_matches_scatter():
+    rng = np.random.default_rng(7)
+    E, N, H = 200, 40, 4
+    ids = np.sort(rng.integers(0, N, size=E)).astype(np.int32)
+    logits = rng.normal(size=(E, H)).astype(np.float32) * 3
+    mask = np.ones(E, bool)
+    mask[180:] = False  # contiguous padded tail
+    ids[180:] = 0       # padding points at node 0 (like collate)
+    # keep real part sorted
+    ids[:180] = np.sort(ids[:180])
+    a = np.asarray(
+        segment_softmax(
+            jnp.asarray(logits), jnp.asarray(ids), N, jnp.asarray(mask)
+        )
+    )
+    b = np.asarray(
+        segment_softmax(
+            jnp.asarray(logits), jnp.asarray(ids), N, jnp.asarray(mask),
+            sorted_ids=True,
+        )
+    )
+    # padded-tail rows are zeroed in both
+    assert np.allclose(a[:180], b[:180], atol=1e-5), np.abs(a - b).max()
+    assert np.allclose(b[180:], 0.0)
+    # gradients agree too
+    import jax
+
+    f = lambda s: lambda l: jnp.sum(
+        jnp.sin(
+            segment_softmax(
+                l, jnp.asarray(ids), N, jnp.asarray(mask), sorted_ids=s
+            )
+        )
+    )
+    ga = np.asarray(jax.grad(f(False))(jnp.asarray(logits)))
+    gb = np.asarray(jax.grad(f(True))(jnp.asarray(logits)))
+    assert np.allclose(ga[:180], gb[:180], atol=1e-4)
+
+
+def test_segment_sum_matmul_matches_scatter():
+    rng = np.random.default_rng(8)
+    vals = rng.normal(size=(50, 7, 3)).astype(np.float32)
+    ids = rng.integers(0, 12, size=50).astype(np.int32)
+    mask = rng.random(50) > 0.2
+    a = np.asarray(
+        segment_sum(jnp.asarray(vals), jnp.asarray(ids), 12,
+                    jnp.asarray(mask), method="scatter")
+    )
+    b = np.asarray(
+        segment_sum(jnp.asarray(vals), jnp.asarray(ids), 12,
+                    jnp.asarray(mask), method="matmul")
+    )
+    assert np.allclose(a, b, atol=1e-5)
+
+
 def test_segment_sum_masked():
     vals = jnp.asarray([[1.0], [2.0], [4.0]])
     seg = jnp.asarray([0, 0, 1])
