@@ -132,7 +132,67 @@ def main(argv=None):
         metrics["loss"] = loss
         return new_state, metrics
 
-    step = jax.jit(step_fn, donate_argnums=(0,))
+    if args.data_parallel and jax.device_count() > 1:
+        # shard_map DP over all visible devices — the XLA-collective analog
+        # of the reference DDP trainer (train_oc20v2_parallel.py)
+        from ..parallel.data_parallel import (
+            _apply_updates_factory,
+            make_dp_train_step_from_loss,
+            make_mesh,
+            shard_batch,
+            stack_microbatches,
+        )
+
+        mesh = make_mesh()
+        ndev = mesh.devices.size
+
+        def loss_grad(params, batch, drop_rng):
+            def loss_fn(p):
+                outs = model.apply(
+                    p, batch, deterministic=False, rngs={"dropout": drop_rng}
+                )
+                loss, metrics = oc20_loss(
+                    outs["energy"], batch["energy"], outs["forces"],
+                    batch["forces"], batch["node_mask"],
+                    cfg["w_energy"], cfg["w_force"],
+                )
+                return loss, metrics
+
+            (loss, metrics), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params)
+            metrics = dict(metrics)
+            metrics["loss"] = loss
+            return metrics, grads
+
+        dp_step = jax.jit(
+            make_dp_train_step_from_loss(
+                loss_grad,
+                _apply_updates_factory(tx, cfg["ema_decay"]),
+                mesh,
+            ),
+            donate_argnums=(0,),
+        )
+
+        def batches(loader):
+            # group ndev loader micro-batches per optimizer step (the
+            # DistributedSampler analog: each device gets distinct data)
+            buf = []
+            for pb in loader:
+                buf.append(pb.asdict())
+                if len(buf) == ndev:
+                    yield shard_batch(mesh, stack_microbatches(buf))
+                    buf = []
+
+        step = dp_step
+    else:
+        def batches(loader):
+            import jax.numpy as jnp
+
+            for pb in loader:
+                yield {k: jnp.asarray(v) for k, v in pb.asdict().items()}
+
+        step = jax.jit(step_fn, donate_argnums=(0,))
 
     @jax.jit
     def eval_fwd(params, batch):
@@ -144,8 +204,7 @@ def main(argv=None):
         train_loader.set_epoch(epoch)
         t0 = time.time()
         losses = []
-        for pb in train_loader:
-            batch = {k: jnp.asarray(v) for k, v in pb.asdict().items()}
+        for batch in batches(train_loader):
             rng, sub = jax.random.split(rng)
             state, metrics = step(state, batch, sub)
             losses.append(float(metrics["loss"]))
