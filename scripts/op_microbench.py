@@ -80,12 +80,30 @@ def main():
     results["so2_conv_2"] = t(jax.jit(lambda p, x: conv2.apply(p, x)), p2, x_hid)
 
     g = s2grid(LMAX, MMAX, 18)
-    results["s2_act(grid18)"] = t(
+    results["s2_act_xla(grid18)"] = t(
         jax.jit(lambda x: g.from_grid(jax.nn.silu(g.to_grid(x)))), x_hid
+    )
+    from equivarianttransformermpnn4quantumcomputations_tpu.ops.pallas.s2act import (
+        s2act_fused,
+    )
+    results["s2_act_fused(grid18)"] = t(
+        jax.jit(lambda x: s2act_fused(x, g)), x_hid
     )
     logits = jnp.asarray(rng.normal(size=(E, 8)), dtype=jnp.float32)
     results["segment_softmax"] = t(
         jax.jit(lambda l: segment_softmax(l, edge_dst, N, emask)), logits
+    )
+    results["segment_softmax_sorted"] = t(
+        jax.jit(
+            lambda l: segment_softmax(l, edge_dst, N, emask, sorted_ids=True)
+        ),
+        logits,
+    )
+    results["segment_sum_scatter"] = t(
+        jax.jit(
+            lambda v: segment_sum(v, edge_dst, N, emask, method="scatter")
+        ),
+        jnp.asarray(rng.normal(size=(E, 25, H)), dtype=dt),
     )
     vals = jnp.asarray(rng.normal(size=(E, 25, H)), dtype=dt)
     results["segment_sum_messages"] = t(
