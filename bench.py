@@ -29,6 +29,11 @@ STEPS = int(os.environ.get("ETQ_BENCH_STEPS", 10))
 # bf16 compute (f32 master params + norms) is the TPU-native design point
 BF16 = os.environ.get("ETQ_BENCH_BF16", "1") == "1"
 REMAT = os.environ.get("ETQ_BENCH_REMAT", "1") == "1"
+# the fused Pallas S2 kernel (on by default in nn/activations.py) is not
+# compatible with flax's lifted scan (custom_vjp residual misbinding), so the
+# default bench unrolls layers; ETQ_S2_FUSED=0 ETQ_BENCH_SCAN=1 for the
+# scan+XLA path.
+SCAN = os.environ.get("ETQ_BENCH_SCAN", "0") == "1"
 
 
 def main():
@@ -65,7 +70,7 @@ def main():
         gata=True,
         alpha_drop=0.0,
         drop_path_rate=0.0,
-        scan_layers=True,   # one compiled block body; ~6x faster XLA compile
+        scan_layers=SCAN,
         compute_dtype="bfloat16" if BF16 else "float32",
         remat=REMAT,
     )

@@ -167,9 +167,51 @@ def _call(kernel, A, F, inputs, n_out: int, n_grid_bufs: int):
     return tuple(r[:N] for r in res)
 
 
+# Tables are EXPLICIT custom_vjp arguments (with zero cotangents), not
+# closures: under jax.checkpoint/nn.scan, closed-over array constants get
+# hoisted into the jaxpr's inputs, which misaligns the custom_vjp residual
+# binding (observed: bwd received the table where x was expected).
+
+
+# ── level 2: first backward, itself differentiable once ─────────────────
+@jax.custom_vjp
+def _s2_bwd(x, dout, A, F):
+    return _call(_k2, A, F, (x, dout), n_out=1, n_grid_bufs=3)
+
+
+def _s2_bwd_fwd(x, dout, A, F):
+    return _s2_bwd(x, dout, A, F), (x, dout, A, F)
+
+
+def _s2_bwd_bwd(res, ddx):
+    x, dout, A, F = res
+    ddout, dx2 = _call(_k3, A, F, (x, dout, ddx), n_out=2, n_grid_bufs=4)
+    return dx2, ddout, jnp.zeros_like(A), jnp.zeros_like(F)
+
+
+_s2_bwd.defvjp(_s2_bwd_fwd, _s2_bwd_bwd)
+
+
+# ── level 1: the activation ──────────────────────────────────────────────
+@jax.custom_vjp
+def _s2_act(x, A, F):
+    return _call(_k1, A, F, (x,), n_out=1, n_grid_bufs=2)
+
+
+def _s2_act_fwd(x, A, F):
+    return _s2_act(x, A, F), (x, A, F)
+
+
+def _s2_act_bwd(res, dout):
+    x, A, F = res
+    return _s2_bwd(x, dout, A, F), jnp.zeros_like(A), jnp.zeros_like(F)
+
+
+_s2_act.defvjp(_s2_act_fwd, _s2_act_bwd)
+
+
 @functools.lru_cache(maxsize=None)
-def _make_ops(grid_key):
-    """Build the custom_vjp chain for one S2 grid (tables closed over)."""
+def _tables(grid_key):
     from ..s2grid import s2grid
 
     grid = s2grid(*grid_key)
@@ -179,42 +221,13 @@ def _make_ops(grid_key):
     # and cache tracers (UnexpectedTracerError on the next trace)
     A = np.asarray(grid.to_grid_mat, dtype=np.float32).reshape(P, K)
     F = np.asarray(grid.from_grid_mat, dtype=np.float32).reshape(P, K)
-
-    # ── level 2: first backward, itself differentiable once ─────────────
-    @jax.custom_vjp
-    def s2_bwd(x, dout):
-        return _call(_k2, A, F, (x, dout), n_out=1, n_grid_bufs=3)
-
-    def s2_bwd_fwd(x, dout):
-        return s2_bwd(x, dout), (x, dout)
-
-    def s2_bwd_bwd(res, ddx):
-        x, dout = res
-        ddout, dx2 = _call(
-            _k3, A, F, (x, dout, ddx), n_out=2, n_grid_bufs=4
-        )
-        return dx2, ddout
-
-    s2_bwd.defvjp(s2_bwd_fwd, s2_bwd_bwd)
-
-    # ── level 1: the activation ──────────────────────────────────────────
-    @jax.custom_vjp
-    def s2_act(x):
-        return _call(_k1, A, F, (x,), n_out=1, n_grid_bufs=2)
-
-    def s2_act_fwd(x):
-        return s2_act(x), x
-
-    def s2_act_bwd(x, dout):
-        return (s2_bwd(x, dout),)
-
-    s2_act.defvjp(s2_act_fwd, s2_act_bwd)
-    return s2_act
+    return A, F
 
 
 def s2act_fused(x, grid):
     """Fused S2 activation for an S2Grid (see module docstring)."""
-    return _make_ops(grid.cache_key)(x)
+    A, F = _tables(grid.cache_key)
+    return _s2_act(x, jnp.asarray(A), jnp.asarray(F))
 
 
 def s2act_reference(x, grid):
