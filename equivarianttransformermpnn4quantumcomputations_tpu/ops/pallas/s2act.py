@@ -69,10 +69,11 @@ def _silu_d2(z):
 
 
 def _tile_n(P: int, C: int, n_bufs: int) -> int:
-    # keep n_bufs grid-sized buffers + slack under ~10 MB of VMEM
-    budget = 8 * 1024 * 1024
+    # n_bufs grid-sized f32 buffers must fit in scoped VMEM (16 MB) together
+    # with the double-buffered [T, K, C] i/o blocks — keep them under ~5 MB
+    budget = 5 * 1024 * 1024
     t = budget // max(1, n_bufs * P * C * 4)
-    t = max(8, min(128, int(t)))
+    t = max(1, min(128, int(t)))
     return 1 << (t.bit_length() - 1)  # floor pow2
 
 
