@@ -68,13 +68,19 @@ def _silu_d2(z):
     return s * (1.0 - s) * (2.0 + z * (1.0 - 2.0 * s))
 
 
-def _tile_n(P: int, C: int, n_bufs: int) -> int:
-    # n_bufs grid-sized f32 buffers must fit in scoped VMEM (16 MB) together
-    # with the double-buffered [T, K, C] i/o blocks — keep them under ~5 MB
+def _tile_nc(P: int, C: int, n_bufs: int):
+    """Pick (node tile T, channel block Cb): the ops are channel-separable,
+    so wide-C inputs tile the channel axis instead of shrinking T to nothing.
+    n_bufs grid-sized f32 buffers must fit in scoped VMEM (16 MB) together
+    with the double-buffered [T, K, Cb] i/o blocks — keep them under ~5 MB.
+    """
     budget = 5 * 1024 * 1024
-    t = budget // max(1, n_bufs * P * C * 4)
+    Cb = min(C, 256)
+    while C % Cb:
+        Cb //= 2
+    t = budget // max(1, n_bufs * P * Cb * 4)
     t = max(1, min(128, int(t)))
-    return 1 << (t.bit_length() - 1)  # floor pow2
+    return 1 << (t.bit_length() - 1), Cb
 
 
 def _k1(a_ref, f_ref, x_ref, o_ref):
@@ -139,17 +145,18 @@ def _k3(a_ref, f_ref, x_ref, do_ref, ddx_ref, ddo_ref, dx2_ref):
 
 
 def _call(kernel, A, F, inputs, n_out: int, n_grid_bufs: int):
-    """Tile the node axis and invoke ``kernel`` (tables first)."""
+    """Tile nodes x channel-blocks and invoke ``kernel`` (tables first)."""
     x = inputs[0]
     N, K, C = x.shape
     P = A.shape[0]
-    T = _tile_n(P, C, n_grid_bufs)
+    T, Cb = _tile_nc(P, C, n_grid_bufs)
     n_tiles = -(-N // T)
+    n_cblk = C // Cb
     pad = n_tiles * T - N
     padded = [jnp.pad(v, ((0, pad), (0, 0), (0, 0))) for v in inputs]
 
-    table_spec = _block_spec((P, K), lambda i: (0, 0))
-    io_spec = _block_spec((T, K, C), lambda i: (i, 0, 0))
+    table_spec = _block_spec((P, K), lambda i, j: (0, 0))
+    io_spec = _block_spec((T, K, Cb), lambda i, j: (i, 0, j))
     out_shapes = tuple(
         jax.ShapeDtypeStruct((n_tiles * T, K, C), x.dtype)
         for _ in range(n_out)
@@ -157,7 +164,7 @@ def _call(kernel, A, F, inputs, n_out: int, n_grid_bufs: int):
     out_specs = tuple(io_spec for _ in range(n_out))
     res = pl.pallas_call(
         kernel,
-        grid=(n_tiles,),
+        grid=(n_tiles, n_cblk),
         in_specs=[table_spec, table_spec] + [io_spec] * len(inputs),
         out_specs=out_specs if n_out > 1 else out_specs[0],
         out_shape=out_shapes if n_out > 1 else out_shapes[0],
