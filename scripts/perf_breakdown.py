@@ -57,7 +57,7 @@ def main():
             ffn_hidden_channels=512, lmax=4, mmax=2, grid_resolution=18,
             edge_channels=128, num_rbf=600, max_num_elements=100,
             gata=True, alpha_drop=0.0, drop_path_rate=0.0,
-            scan_layers=True, compute_dtype=dtype,
+            scan_layers=False, compute_dtype=dtype,
         )
         params = model.init(jax.random.PRNGKey(0), batch)
         mp = dtype == "bfloat16"
