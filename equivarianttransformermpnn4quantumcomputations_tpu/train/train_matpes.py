@@ -50,6 +50,10 @@ def main(argv=None):
     parser.add_argument("--config", default="default")
     parser.add_argument("--checkpoint", default=None)
     parser.add_argument("--epochs", type=int, default=None)
+    parser.add_argument(
+        "--mixed-precision", action="store_true",
+        help="bf16 compute, f32 master params/norms",
+    )
     args = parser.parse_args(argv)
 
     from ..configs import matpes as mp_cfg
@@ -129,6 +133,7 @@ def main(argv=None):
         gata=cfg["gata"],
         normalize_attn_output=cfg.get("normalize_attn_output", True),
         use_phi_every_layer=cfg.get("use_phi_every_layer", False),
+        compute_dtype="bfloat16" if args.mixed_precision else "float32",
     )
 
     steps_per_epoch = max(len(train_loader), 1)
@@ -160,6 +165,7 @@ def main(argv=None):
             model, tx, cfg["w_energy"], cfg["w_force"],
             cfg["w_stress"] if cfg.get("regress_stress") else 0.0,
             cfg["ema_decay"],
+            mixed_precision=args.mixed_precision,
         ),
         donate_argnums=(0,),
     )
