@@ -74,7 +74,7 @@ def _tile_nc(P: int, C: int, n_bufs: int):
     n_bufs grid-sized f32 buffers must fit in scoped VMEM (16 MB) together
     with the double-buffered [T, K, Cb] i/o blocks — keep them under ~5 MB.
     """
-    budget = 5 * 1024 * 1024
+    budget = 10 * 1024 * 1024
     Cb = min(C, 256)
     while C % Cb:
         Cb //= 2
