@@ -234,7 +234,10 @@ class GraphAttention(nn.Module):
 
         # ── rotate back + reduce ──────────────────────────────────────────
         msg = rotate_from_edge(wigner, msg, self.layout_red)
-        agg = segment_sum(msg, edge_dst, num_segments=num_nodes, mask=edge_mask)
+        agg = segment_sum(
+            msg, edge_dst, num_segments=num_nodes, mask=edge_mask,
+            sorted_ids=True,
+        )
 
         # ── output projection ─────────────────────────────────────────────
         return SO3Linear(

@@ -73,6 +73,7 @@ class EdgeDegreeEmbedding(nn.Module):
 
         x_edge_emb = rotate_from_edge(wigner, x_edge_emb, lay)
         out = segment_sum(
-            x_edge_emb, edge_dst, num_segments=num_nodes, mask=edge_mask
+            x_edge_emb, edge_dst, num_segments=num_nodes, mask=edge_mask,
+            sorted_ids=True,
         )
         return out / self.rescale_factor

@@ -11,6 +11,7 @@ produce exact zeros (the reference handles the analogous all-pad rows with
 from __future__ import annotations
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 __all__ = ["segment_sum", "segment_mean", "segment_softmax"]
@@ -27,18 +28,27 @@ _MATMUL_SEGMENT_MAX_ELEMS = int(
 
 
 def segment_sum(values, segment_ids, num_segments: int, mask=None,
-                method: str = "auto"):
+                method: str = "auto", sorted_ids: bool = False):
     """Sum ``values`` ([E, ...]) into ``num_segments`` buckets.
 
     Padded entries (mask False) contribute zero.  method: 'auto' | 'scatter'
-    | 'matmul' (one-hot GEMM — much faster than scatter on TPU for the
-    message-aggregation shapes here).
+    | 'matmul' (one-hot GEMM) | 'pallas' (sorted streaming-accumulate kernel;
+    requires sorted_ids).  'auto' prefers the pallas kernel for sorted ids on
+    TPU, then the matmul path — both much faster than TPU scatter-add.
     """
     if mask is not None:
         values = values * mask.astype(values.dtype).reshape(
             mask.shape + (1,) * (values.ndim - 1)
         )
     E = values.shape[0]
+    D = int(np.prod(values.shape[1:])) if values.ndim > 1 else 1
+    if method in ("auto", "pallas") and sorted_ids and values.ndim > 1:
+        from .pallas.segsum import seg_sum_available, segment_sum_sorted_pallas
+
+        if jax.default_backend() == "tpu" and seg_sum_available(
+            E, num_segments, D
+        ):
+            return segment_sum_sorted_pallas(values, segment_ids, num_segments)
     use_matmul = method == "matmul" or (
         method == "auto"
         and values.ndim > 1
