@@ -84,14 +84,16 @@ def _tile_nc(P: int, C: int, n_bufs: int):
 
 
 def _k1(a_ref, f_ref, x_ref, o_ref):
-    A = a_ref[:]
-    F = f_ref[:]
-    x = x_ref[:].astype(jnp.float32)
+    # compute dtype follows the input (bf16 under mixed precision -> native
+    # bf16 MXU, f32 accumulation); silu runs in f32
+    x = x_ref[:]
+    A = a_ref[:].astype(x.dtype)
+    F = f_ref[:].astype(x.dtype)
     g = jax.lax.dot_general(
         A, x, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [P, T, C]
-    sg = _silu(g)
+    sg = _silu(g).astype(x.dtype)
     out = jax.lax.dot_general(
         F, sg, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -100,17 +102,17 @@ def _k1(a_ref, f_ref, x_ref, o_ref):
 
 
 def _k2(a_ref, f_ref, x_ref, do_ref, dx_ref):
-    A = a_ref[:]
-    F = f_ref[:]
-    x = x_ref[:].astype(jnp.float32)
-    do = do_ref[:].astype(jnp.float32)
+    x = x_ref[:]
+    do = do_ref[:]
+    A = a_ref[:].astype(x.dtype)
+    F = f_ref[:].astype(x.dtype)
     g = jax.lax.dot_general(
         A, x, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
     h = jax.lax.dot_general(
         F, do, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    w = _silu_d1(g) * h
+    w = (_silu_d1(g) * h).astype(x.dtype)
     dx = jax.lax.dot_general(
         A, w, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )  # [K, T, C]
@@ -118,26 +120,26 @@ def _k2(a_ref, f_ref, x_ref, do_ref, dx_ref):
 
 
 def _k3(a_ref, f_ref, x_ref, do_ref, ddx_ref, ddo_ref, dx2_ref):
-    A = a_ref[:]
-    F = f_ref[:]
-    x = x_ref[:].astype(jnp.float32)
-    do = do_ref[:].astype(jnp.float32)
-    ddx = ddx_ref[:].astype(jnp.float32)
+    x = x_ref[:]
+    A = a_ref[:].astype(x.dtype)
+    F = f_ref[:].astype(x.dtype)
     g = jax.lax.dot_general(
         A, x, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
     u = jax.lax.dot_general(
-        A, ddx, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        A, ddx_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
     h = jax.lax.dot_general(
-        F, do, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        F, do_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
     ddo = jax.lax.dot_general(
-        F, _silu_d1(g) * u, (((0,), (0,)), ((), ())),
+        F, (_silu_d1(g) * u).astype(x.dtype), (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     dx2 = jax.lax.dot_general(
-        A, _silu_d2(g) * h * u, (((0,), (0,)), ((), ())),
+        A, (_silu_d2(g) * h * u).astype(x.dtype), (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     ddo_ref[:] = jnp.transpose(ddo, (1, 0, 2)).astype(ddo_ref.dtype)
