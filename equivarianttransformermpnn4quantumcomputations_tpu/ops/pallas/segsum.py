@@ -51,7 +51,13 @@ def _spec(shape, index_map=None):
 
 
 def seg_sum_available(E: int, N: int, D: int) -> bool:
-    return N * D * 4 <= _MAX_OUT_BYTES
+    # DISABLED: Mosaic requires dynamic row indices to be provably 8-aligned
+    # ("cannot statically prove that index in dimension 0 is a multiple of
+    # 8"), so per-edge dynamic accumulation into the VMEM output is not
+    # lowerable.  The one-hot MXU matmul path in ops/segment.py has the same
+    # FLOPs and stays the production path; this kernel is kept as a record
+    # of the design and for interpret-mode experiments.
+    return False
 
 
 def _kernel(ids_ref, msg_ref, out_ref):
