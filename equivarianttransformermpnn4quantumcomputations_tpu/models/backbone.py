@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.irreps import layout as get_layout
+from ..ops.pallas.segsum import gather_nodes
 from ..ops.rotation import compute_wigner
 from ..ops.s2grid import s2grid
 from ..ops.sph import real_sph_harm
@@ -127,7 +128,10 @@ class EquiformerV2Backbone(nn.Module):
             edge_shift.astype(pos.dtype),
             cell[graph_idx[edge_dst]],
         )
-        dvec = pos[edge_dst] + shift_cart - pos[edge_src]       # [E, 3]
+        dvec = (
+            gather_nodes(pos, edge_dst) + shift_cart
+            - gather_nodes(pos, edge_src)
+        )  # [E, 3]
         dist = jnp.sqrt(jnp.maximum(jnp.sum(dvec * dvec, -1), 1e-12))
 
         # ── per-edge Wigner matrices (detached geometry) ──────────────────
@@ -193,7 +197,7 @@ class EquiformerV2Backbone(nn.Module):
             # t_ij init (reference :243-281)
             h = x[:, 0, :]
             h_sum = Dense(self.edge_channels, name="h_proj")(
-                h[edge_src] + h[edge_dst]
+                gather_nodes(h, edge_src) + gather_nodes(h, edge_dst)
             )
             t_ij = h_sum * Dense(self.edge_channels, name="W_erp")(phi_r)
             if self.dual_stream:

@@ -32,6 +32,7 @@ import jax.numpy as jnp
 from ..ops.irreps import IrrepsLayout
 from ..ops.rotation import WignerBlocks, rotate_from_edge, rotate_to_edge
 from ..ops.s2grid import S2Grid
+from ..ops.pallas.segsum import gather_nodes
 from ..ops.segment import segment_softmax, segment_sum
 from .activations import gate_activation, s2_activation, separable_s2_activation
 from .gata import GATAValueActivation
@@ -107,8 +108,8 @@ class GraphAttention(nn.Module):
             x_edge = edge_scalars
 
         # ── gather node features to edges ─────────────────────────────────
-        x_src = x[edge_src]
-        x_dst = x[edge_dst]
+        x_src = gather_nodes(x, edge_src)
+        x_dst = gather_nodes(x, edge_dst)
         if self.gata:
             # unrotated-frame neighbour features (reference Gotennet fork
             # transformer_block.py:255-267 gathers the *target* embedding)

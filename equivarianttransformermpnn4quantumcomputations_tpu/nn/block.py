@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.irreps import IrrepsLayout
+from ..ops.pallas.segsum import gather_nodes
 from ..ops.rotation import WignerBlocks
 from ..ops.s2grid import S2Grid
 from .attention import GraphAttention
@@ -124,8 +125,8 @@ class TransBlock(nn.Module):
         if self.gata:
             # HTR refines the edge stream from the *current* features
             # (reference Gotennet fork transformer_block.py:595-613)
-            X_i = x[edge_src][:, 1:, :]
-            X_j = x[edge_dst][:, 1:, :]
+            X_i = gather_nodes(x, edge_src)[:, 1:, :]
+            X_j = gather_nodes(x, edge_dst)[:, 1:, :]
             t_ij = HTR(
                 sphere_channels=self.sphere_channels,
                 edge_channels=self.edge_channels,

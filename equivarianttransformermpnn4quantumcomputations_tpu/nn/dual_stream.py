@@ -12,6 +12,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..ops.pallas.segsum import gather_nodes
 from ..ops.segment import segment_mean, segment_sum
 from .layers import Dense
 from .norms import EquivariantRMSNormSH
@@ -57,16 +58,17 @@ class AngularHTR(nn.Module):
             d = 2 * l + 1
             Xl = X_all[:, offset : offset + d, :]
             offset += d
+            Xl_dst = gather_nodes(Xl, edge_dst)
             Xj_q = Dense(self.edge_channels, use_bias=False, name=f"W_q_{l}")(
-                Xl[edge_dst]
+                Xl_dst
             )
             Xj_k = Dense(self.edge_channels, use_bias=False, name=f"W_k_{l}")(
-                Xl[edge_dst]
+                Xl_dst
             )
             agg_k = segment_sum(
                 Xj_k, edge_src, num_segments=N, mask=edge_mask
             ) / deg[:, None, None]
-            ip = jnp.sum(Xj_q * agg_k[edge_src], axis=1)  # [E, edge_C]
+            ip = jnp.sum(Xj_q * gather_nodes(agg_k, edge_src), axis=1)
             w_ang = w_ang + ip / d
 
         w_ang = w_ang * Dense(

@@ -79,27 +79,13 @@ def _kernel(ids_ref, msg_ref, out_ref):
 
 def _seg_sum_impl(vals2d, ids, num_segments: int):
     E, D = vals2d.shape
-    T = 256
-    n_tiles = -(-E // T)
-    pad = n_tiles * T - E
-    v = jnp.pad(vals2d, ((0, pad), (0, 0)))
-    # padded tail ids point at row 0 with zero values: harmless adds
-    ids_p = jnp.pad(ids.astype(jnp.int32), (0, pad))
-
-    if pltpu is not None and not _interpret():
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(n_tiles,),
-            in_specs=[_spec((T, D), lambda t, ids: (t, 0))],
-            out_specs=_spec((num_segments, D), lambda t, ids: (0, 0)),
-        )
-        return pl.pallas_call(
-            _kernel,
-            grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((num_segments, D), vals2d.dtype),
-        )(ids_p, v)
-    # interpret/CPU fallback with identical semantics
-    return jax.ops.segment_sum(v, ids_p, num_segments=num_segments)
+    if jax.default_backend() == "tpu":
+        # one-hot MXU matmul: TPU scatter-add is serialized (~1.5x slower)
+        onehot = (
+            ids[:, None] == jnp.arange(num_segments, dtype=ids.dtype)[None, :]
+        ).astype(vals2d.dtype)
+        return jnp.einsum("en,ed->nd", onehot, vals2d)
+    return jax.ops.segment_sum(vals2d, ids, num_segments=num_segments)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
@@ -142,3 +128,20 @@ def segment_sum_sorted_pallas(vals, ids, num_segments: int):
     flat = vals.reshape(E, -1)
     out = _seg_sum(flat, ids, num_segments)
     return out.reshape((num_segments,) + vals.shape[1:])
+
+
+def gather_nodes(x, ids):
+    """Node->edge gather whose EVERY-order transpose is the matmul
+    segment-sum instead of an XLA scatter-add.
+
+    A plain ``x[ids]`` is fast forward, but its vjp is a scatter-add — the
+    slowest primitive on TPU — and it appears 6-10x per layer per AD
+    traversal in this architecture.  The `_gather`/`_seg_sum` custom_vjp pair
+    alternates gather <-> one-hot-matmul to any derivative order.
+
+    x: [N, ...]; ids: [E] -> [E, ...].
+    """
+    N = x.shape[0]
+    flat = x.reshape(N, -1)
+    out = _gather(flat, ids, N)
+    return out.reshape((ids.shape[0],) + x.shape[1:])
