@@ -33,7 +33,6 @@ from ..ops.pallas.segsum import gather_nodes
 from ..ops.rotation import compute_wigner
 from ..ops.s2grid import s2grid
 from ..ops.sph import real_sph_harm
-from .. import nn as enn
 from ..nn.block import TransBlock
 from ..nn.embedding import EdgeDegreeEmbedding
 from ..nn.layers import Dense, GaussianSmearing

