@@ -101,13 +101,19 @@ def main(argv=None):
 
     err_sum = np.zeros(n_targets)
     count = 0
+    all_pred, all_tgt = [], []
     for pb in loader:
         batch = {k: jnp.asarray(v) for k, v in pb.asdict().items()}
         pred = np.asarray(fwd(params, batch)) * std + mean
         tgt = np.asarray(batch["y"]) * std + mean
+        all_pred.append(pred)
+        all_tgt.append(tgt)
         err_sum += np.abs(pred - tgt).sum(axis=0)
         count += pred.shape[0]
     mae = err_sum / max(count, 1)
+    # predictions/targets dumps (reference train_qm9v3.py:408-411)
+    np.save(os.path.join(run_dir, "predictions.npy"), np.concatenate(all_pred))
+    np.save(os.path.join(run_dir, "targets.npy"), np.concatenate(all_tgt))
 
     print(f"\nQM9 {args.split} MAE (paper units), {count} molecules:")
     for nm, m in zip(names, mae):
