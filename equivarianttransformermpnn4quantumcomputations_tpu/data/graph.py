@@ -44,6 +44,7 @@ class GraphSample:
     energy: float | None = None           # total or per-atom energy
     forces: np.ndarray | None = None      # [n, 3]
     stress: np.ndarray | None = None      # [6] Voigt
+    fixed: np.ndarray | None = None       # [n] bool fixed-atom mask (OC20 tags)
 
 
 def radius_graph(pos: np.ndarray, cutoff: float, max_neighbors: int | None):
@@ -163,6 +164,7 @@ class PaddedBatch:
     energy: np.ndarray | None = None     # [B]
     forces: np.ndarray | None = None     # [N_pad, 3]
     stress: np.ndarray | None = None     # [B, 6]
+    fixed: np.ndarray | None = None      # [N_pad] bool (OC20 fixed atoms)
 
     def asdict(self):
         d = {
@@ -178,7 +180,7 @@ class PaddedBatch:
             "edge_mask": self.edge_mask,
             "cell": self.cell,
         }
-        for k in ("y", "energy", "forces", "stress"):
+        for k in ("y", "energy", "forces", "stress", "fixed"):
             v = getattr(self, k)
             if v is not None:
                 d[k] = v
@@ -219,6 +221,7 @@ def collate(
     energy = np.zeros(B, np.float32) if y0.energy is not None else None
     forces = np.zeros((n_pad, 3), np.float32) if y0.forces is not None else None
     stress = np.zeros((B, 6), np.float32) if y0.stress is not None else None
+    fixed = np.zeros(n_pad, bool) if y0.fixed is not None else None
 
     node_off = 0
     edge_off = 0
@@ -264,6 +267,8 @@ def collate(
             forces[sl] = s.forces[:n]
         if stress is not None:
             stress[b] = s.stress
+        if fixed is not None:
+            fixed[sl] = s.fixed[:n]
         node_off += n
         edge_off += e
 
@@ -283,4 +288,5 @@ def collate(
         energy=energy,
         forces=forces,
         stress=stress,
+        fixed=fixed,
     )

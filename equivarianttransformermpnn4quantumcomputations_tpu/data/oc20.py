@@ -42,6 +42,8 @@ def _atoms_to_sample(atoms, normalize: bool) -> GraphSample:
     if normalize:
         energy = (energy - OC20_ENERGY_MEAN) / OC20_ENERGY_STD
         forces = forces / OC20_ENERGY_STD
+    # fixed-atom mask from tags (reference data_loader_oc20v2.py:151-153)
+    fixed = np.asarray(atoms.get_tags(), np.int64) > 0
     return GraphSample(
         atomic_numbers=np.asarray(atoms.numbers, np.int32),
         pos=np.asarray(atoms.positions, np.float32),
@@ -49,6 +51,7 @@ def _atoms_to_sample(atoms, normalize: bool) -> GraphSample:
         pbc=bool(atoms.pbc.any()),
         energy=energy,
         forces=forces,
+        fixed=fixed,
     )
 
 
@@ -137,6 +140,7 @@ def convert_to_lmdb(dataset, lmdb_path: str, map_size: int = 150 * 2**30):
                 pbc=s.pbc,
                 energy=s.energy,
                 forces=s.forces,
+                fixed=s.fixed,
             )
             txn.put(f"{i}".encode(), pickle.dumps(rec))
         txn.put(b"__len__", pickle.dumps(len(dataset)))
