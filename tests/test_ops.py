@@ -260,3 +260,32 @@ def test_segment_sum_masked():
     mask = jnp.asarray([True, False, True])
     out = np.asarray(segment_sum(vals, seg, 3, mask))
     assert np.allclose(out[:, 0], [1.0, 4.0, 0.0])
+
+
+def test_gather_nodes_matches_indexing_to_second_order():
+    """Matmul-transpose gather == plain indexing for value/grad/grad-of-grad."""
+    import jax
+
+    from equivarianttransformermpnn4quantumcomputations_tpu.ops.pallas.segsum import (
+        gather_nodes,
+    )
+
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.normal(size=(10, 5, 4)).astype(np.float32))
+    ids = jnp.asarray(np.sort(rng.integers(0, 10, size=30)).astype(np.int32))
+
+    assert np.allclose(np.asarray(gather_nodes(x, ids)), np.asarray(x[ids]))
+
+    def loss(fn):
+        def e(t):
+            return jnp.sum(jnp.sin(fn(t)) ** 2)
+
+        def l(t):
+            f = jax.grad(e)(t)
+            return jnp.sum(jnp.abs(f)) + e(t)
+
+        return l
+
+    ga = np.asarray(jax.grad(loss(lambda t: gather_nodes(t, ids)))(x))
+    gb = np.asarray(jax.grad(loss(lambda t: t[ids]))(x))
+    assert np.allclose(ga, gb, atol=1e-5), np.abs(ga - gb).max()
