@@ -226,21 +226,21 @@ def matpes_energy_forces_stress(
 ):
     """Energy + forces (+ stress) with a single grad pass.
 
-    Forces: F = -dE_total/d pos.  Stress: the strain trick
-    (reference equiformerv2_MatPES.py:374-391, 461-488) — deform
-    ``pos' = pos @ (I + eps)``, ``cell' = cell @ (I + eps)`` with a symmetric
-    strain eps = 0 and return dE/d eps / volume in Voigt order
-    (xx, yy, zz, yz, xz, xy).
+    Forces: F = -dE_total/d pos.  Stress (``regress_stress=True``) uses the
+    strain trick (reference equiformerv2_MatPES.py:374-391, 461-488) with one
+    symmetric strain **per graph** — delegated to
+    :func:`matpes_energy_forces_stress_pergraph`, which is correct for any
+    batch size (a single batch-shared strain would couple the graphs'
+    dE/d eps and is only valid at B=1, so that path no longer exists).
     """
+    if regress_stress:
+        return matpes_energy_forces_stress_pergraph(
+            model, params, batch, rngs=rngs, deterministic=deterministic
+        )
 
-    def energy_fn(pos, strain):
-        eye = jnp.eye(3, dtype=pos.dtype)
-        defo = eye + strain
-        pos_s = pos @ defo
-        b = dict(batch)
-        b["strained_cell"] = batch["cell"] @ defo[None]
+    def energy_fn(pos):
         outs = model.apply(
-            params, b, pos=pos_s, deterministic=deterministic, rngs=rngs
+            params, batch, pos=pos, deterministic=deterministic, rngs=rngs
         )
         return jnp.sum(outs["energy_total"]), outs
 
@@ -250,25 +250,10 @@ def matpes_energy_forces_stress(
     # [layers, chunks, grid, grid, C] multi-GB buffers); rematerializing
     # trades that for one extra forward.
     energy_fn = jax.checkpoint(energy_fn)
-    strain0 = jnp.zeros((3, 3), dtype=batch["pos"].dtype)
-    (grads, outs) = jax.grad(energy_fn, argnums=(0, 1), has_aux=True)(
-        batch["pos"], strain0
-    )
-    dpos, dstrain = grads
+    dpos, outs = jax.grad(energy_fn, has_aux=True)(batch["pos"])
     forces = -dpos * batch["node_mask"][:, None].astype(dpos.dtype)
     result = dict(outs)
     result["forces"] = forces
-    if regress_stress:
-        # symmetrize and normalize by total volume of each cell: the single
-        # shared strain couples all graphs, so use per-batch mean volume as
-        # the reference does per-graph; proper per-graph stress uses a
-        # [B, 3, 3] strain — provided below.
-        sym = 0.5 * (dstrain + dstrain.T)
-        vol = jnp.abs(jnp.linalg.det(batch["cell"])).sum()
-        s = sym / jnp.maximum(vol, 1e-9)
-        result["stress"] = jnp.stack(
-            [s[0, 0], s[1, 1], s[2, 2], s[1, 2], s[0, 2], s[0, 1]]
-        )
     return result
 
 

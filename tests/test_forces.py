@@ -117,6 +117,29 @@ def test_matpes_stress_matches_finite_difference():
         assert abs(fd - got) < 5e-3 + 0.05 * abs(fd), (vi, fd, got)
 
 
+def test_pergraph_stress_batch_independence():
+    """B=4 per-graph stress == each graph's stress computed alone (B=1).
+
+    Guards the per-graph [B,3,3]-strain path: a single batch-shared strain
+    would couple dE/d eps across graphs (wrong for B>1), so
+    ``matpes_energy_forces_stress(regress_stress=True)`` must route to the
+    per-graph variant and match B=1 results exactly."""
+    rng = np.random.default_rng(7)
+    samples = [crystal_sample(rng, n=3 + i % 2) for i in range(4)]
+    model = EquiformerV2MatPES(**TINY, gata=False)
+    kw = dict(cutoff=5.0, max_neighbors=12)
+    b4 = to_jnp(collate(samples, **kw, n_pad=20, e_pad=900))
+    params = model.init(jax.random.PRNGKey(0), b4)
+    out4 = matpes_energy_forces_stress(model, params, b4, regress_stress=True)
+    stress4 = np.asarray(out4["stress"])
+    assert stress4.shape == (4, 6)
+    for i, s in enumerate(samples):
+        b1 = to_jnp(collate([s], **kw, n_pad=6, e_pad=240))
+        out1 = matpes_energy_forces_stress_pergraph(model, params, b1)
+        s1 = np.asarray(out1["stress"])[0]
+        assert np.abs(stress4[i] - s1).max() < 1e-5, (i, stress4[i], s1)
+
+
 def test_oc20_force_head_equivariance():
     """Explicit force head: rotating the structure rotates the forces."""
     rng = np.random.default_rng(2)
