@@ -84,6 +84,10 @@ class EquiformerV2Backbone(nn.Module):
     avg_degree: float = 6.0       # EdgeDegreeEmbedding rescale
     # GATA variant
     gata: bool = False
+    # GATA v1 (Gotennet_inspired fork, reference equiformerv2_MatPES_GATA.py):
+    # rl_ij edge SH only — no t_ij stream / HTR; requires mmax == lmax and
+    # attn_hidden_channels == sphere_channels
+    gata_v1: bool = False
     normalize_attn_output: bool = True
     use_phi_every_layer: bool = False
     # FFN variant + dual (angular) edge stream
@@ -187,12 +191,14 @@ class EquiformerV2Backbone(nn.Module):
         t_ij = None
         rl_ij = None
         a_ij = None
-        if self.gata:
+        if self.gata or self.gata_v1:
             # edge SH in the global frame, l >= 1, 'norm' normalization,
-            # detached (reference equiformerv2_MatPES_GATAV2.py:232-241)
+            # detached (reference equiformerv2_MatPES_GATAV2.py:232-241;
+            # v1: equiformerv2_MatPES_GATA.py:266-300)
             unit = dvec / dist[..., None]
             rl_full = real_sph_harm(self.lmax, unit, normalization="norm")
             rl_ij = jax.lax.stop_gradient(rl_full[:, 1:])
+        if self.gata:
             # t_ij init (reference :243-281)
             h = x[:, 0, :]
             h_sum = Dense(self.edge_channels, name="h_proj")(
@@ -234,6 +240,7 @@ class EquiformerV2Backbone(nn.Module):
                 drop_path_rate=self.drop_path_rate,
                 proj_drop=self.proj_drop,
                 gata=self.gata,
+                gata_v1=self.gata_v1,
                 edge_channels=self.edge_channels,
                 normalize_attn_output=self.normalize_attn_output,
                 use_phi_every_layer=self.use_phi_every_layer,

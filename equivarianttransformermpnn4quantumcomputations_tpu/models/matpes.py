@@ -58,6 +58,10 @@ class EquiformerV2MatPES(nn.Module):
     avg_degree: float = 12.0       # reference _AVG_DEGREE_MATPES
     # GATA
     gata: bool = True
+    # GATA v1 (reference equiformerv2_MatPES_GATA.py / Gotennet_inspired):
+    # set gata=False, gata_v1=True; requires mmax == lmax and
+    # attn_hidden_channels == sphere_channels
+    gata_v1: bool = False
     normalize_attn_output: bool = True
     use_phi_every_layer: bool = False
     # global all-to-all attention applied after the final norm, before the
@@ -111,6 +115,7 @@ class EquiformerV2MatPES(nn.Module):
             proj_drop=self.proj_drop,
             avg_degree=self.avg_degree,
             gata=self.gata,
+            gata_v1=self.gata_v1,
             normalize_attn_output=self.normalize_attn_output,
             use_phi_every_layer=self.use_phi_every_layer,
             ffn_variant=self.ffn_variant,

@@ -64,9 +64,14 @@ def _populate():
         "equiformer_v2_matpes_v2_all2all",
         EquiformerV2MatPES, gata=False, global_attn="scalar",
     )
-    # equiformerv2_MatPES_GATA.py (v1: GATA value act without HTR refinement
-    # is closest to gata with normalize_attn_output)
-    register_model("equiformer_v2_matpes_gata", EquiformerV2MatPES, gata=True)
+    # equiformerv2_MatPES_GATA.py (v1, Gotennet_inspired fork): gates straight
+    # from so2_conv_1 — no t_ij/HTR, unprojected X_j, full-width value act.
+    # Its config (config_cosinelearningGATA.py:109-110) runs lmax=mmax=4 with
+    # attn_hidden_channels == sphere_channels — both required by the fork.
+    register_model(
+        "equiformer_v2_matpes_gata",
+        EquiformerV2MatPES, gata=False, gata_v1=True, mmax=4,
+    )
     # equiformerv2_MatPES_GATAV2.py
     register_model("equiformer_v2_matpes_gatav2", EquiformerV2MatPES, gata=True)
     # ..._no_normalize_attn_output.py
@@ -110,6 +115,13 @@ def _populate():
         "equiformer_v2_matpes_gatav2_dual_stream",
         EquiformerV2MatPES, gata=True, dual_stream=True,
         ffn_variant="tensor_product",
+    )
+    # GATA_and_all2all_escninsipred_envelope_and_simple_gating fork: GATA
+    # attention + eSEN gated-SH FFN (no S2 grid).  Despite the directory
+    # name, no envelope exists in that fork — the FFN is its only change.
+    register_model(
+        "equiformer_v2_matpes_gata_esen_ffn",
+        EquiformerV2MatPES, gata=True, ffn_variant="esen",
     )
 
 

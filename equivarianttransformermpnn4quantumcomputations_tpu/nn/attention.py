@@ -66,6 +66,10 @@ class GraphAttention(nn.Module):
     alpha_drop: float = 0.0
     # GATA options
     gata: bool = False
+    # GATA v1 (Gotennet_inspired fork, reference equiformerv2_MatPES_GATA.py):
+    # no t_ij/HTR, unprojected X_j, full-width value act (requires mmax==lmax
+    # and hidden_channels==sphere_channels), baseline alpha application
+    gata_v1: bool = False
     edge_channels: int = 0          # t_ij width (GATA)
     normalize_attn_output: bool = True
     # phi-every-layer variant: thread raw distance RBF into the value act
@@ -107,7 +111,7 @@ class GraphAttention(nn.Module):
         # ── gather node features to edges ─────────────────────────────────
         x_src = gather_nodes(x, edge_src)
         x_dst = gather_nodes(x, edge_dst)
-        if self.gata:
+        if self.gata or self.gata_v1:
             # unrotated-frame neighbour features (reference Gotennet fork
             # transformer_block.py:255-267 gathers the *target* embedding)
             h_j = x_dst[:, 0, :]
@@ -135,7 +139,7 @@ class GraphAttention(nn.Module):
         if self.use_gate_act:
             extra_m0 = alpha_ch + lmax * self.hidden_channels
         elif self.use_sep_s2_act:
-            if self.gata:
+            if self.gata or self.gata_v1:
                 S = 1 + 2 * lmax
                 extra_m0 = alpha_ch + S * self.hidden_channels
             else:
@@ -184,7 +188,28 @@ class GraphAttention(nn.Module):
             alpha = compute_alpha(x0_alpha)
         elif self.use_sep_s2_act:
             x0_alpha = x0_extra[:, :alpha_ch]
-            if self.gata:
+            if self.gata_v1:
+                # v1: gates straight from so2_conv_1, no t_ij bias, no alpha
+                # scaling of the gates (reference Gotennet_inspired/
+                # transformer_block.py:311-325)
+                if self.layout_red.mmax != lmax:
+                    raise ValueError(
+                        "gata_v1 requires mmax == lmax (full-width value "
+                        "act; reference config_cosinelearningGATA.py:110)"
+                    )
+                if self.hidden_channels != self.sphere_channels:
+                    raise ValueError(
+                        "gata_v1 requires attn_hidden_channels == "
+                        "sphere_channels (unprojected X_j)"
+                    )
+                from .gata import gata_value_activation_v1
+
+                msg = gata_value_activation_v1(
+                    x0_extra[:, alpha_ch:], X_j, rl_ij, lmax,
+                    self.hidden_channels,
+                )
+                alpha = compute_alpha(x0_alpha)
+            elif self.gata:
                 attn_output = x0_extra[:, alpha_ch:]
                 # alpha computed BEFORE the value act (reference fork :315-324)
                 alpha = compute_alpha(x0_alpha)

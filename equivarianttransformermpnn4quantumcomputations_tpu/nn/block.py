@@ -87,12 +87,14 @@ class TransBlock(nn.Module):
     proj_drop: float = 0.0
     # GATA
     gata: bool = False
+    gata_v1: bool = False   # Gotennet_inspired fork: rl_ij only, no t_ij/HTR
     edge_channels: int = 0
     normalize_attn_output: bool = True
     use_phi_every_layer: bool = False
     num_rbf: int = 0
     # FFN variant: 'standard' | 'moe' | 'moe_breaking' | 'tensor_product'
-    # (reference GATA_and_all2all_MoE / _Dual_Stream forks)
+    # | 'esen' (reference GATA_and_all2all_MoE / _Dual_Stream /
+    # _escninsipred_envelope_and_simple_gating forks)
     ffn_variant: str = "standard"
     num_experts: int = 4
     # dual-stream: thread a second (angular) edge stream through the block
@@ -169,6 +171,7 @@ class TransBlock(nn.Module):
             use_sep_s2_act=self.use_sep_s2_act,
             alpha_drop=self.alpha_drop,
             gata=self.gata,
+            gata_v1=self.gata_v1,
             edge_channels=self.edge_channels,
             normalize_attn_output=self.normalize_attn_output,
             use_phi_every_layer=self.use_phi_every_layer,
@@ -208,6 +211,16 @@ class TransBlock(nn.Module):
                 name="ffn",
             )(h, t_ij, edge_dst, edge_mask)
             self.sow("intermediates", "routing_entropy", entropy)
+        elif self.ffn_variant == "esen":
+            from .ffn import ESENFeedForward
+
+            h = ESENFeedForward(
+                sphere_channels=self.sphere_channels,
+                hidden_channels=self.ffn_hidden_channels,
+                output_channels=self.output_channels,
+                lmax=lmax,
+                name="ffn",
+            )(h)
         elif self.ffn_variant == "tensor_product":
             from .dual_stream import TensorProductFFN
 

@@ -14,10 +14,62 @@ import jax.numpy as jnp
 
 from ..ops.s2grid import S2Grid
 from .activations import gate_activation, s2_activation, separable_s2_activation
-from .layers import Dense
+from .layers import Dense, scaled_silu
 from .so3_layers import SO3Linear
 
-__all__ = ["FeedForward"]
+__all__ = ["FeedForward", "ESENFeedForward"]
+
+
+class ESENFeedForward(nn.Module):
+    """eSEN-style FFN: gated nonlinearity directly in SH space — no grid.
+
+    Re-design of the reference 'envelope and simple gating' fork's
+    FeedForwardNetwork (models/NewFunctions/GATA_and_all2all_escninsipred_
+    envelope_and_simple_gating_toreplace_S2activation/transformer_block.py:
+    369-475; its activation.py:93-133 deletes the S2 classes).  Despite the
+    directory name there is no envelope anywhere in that fork — its only
+    change is this FFN:
+
+        SO3Linear (expand) ->
+          l=0: ScaledSiLU;
+          l>0: x^(l) * sigmoid(gate_proj_l(ScaledSiLU(x^(0))))
+        -> SO3Linear (contract)
+
+    Gate projections init to weight=0 / bias=2.0 so sigmoid(2) ~ 0.88 —
+    gates start nearly open (reference :436-439).  Exactly equivariant:
+    gates are invariant scalars shared across m within each l.
+    """
+
+    sphere_channels: int
+    hidden_channels: int
+    output_channels: int
+    lmax: int
+
+    @nn.compact
+    def __call__(self, x):
+        h = SO3Linear(
+            self.sphere_channels, self.hidden_channels, self.lmax,
+            name="so3_linear_1",
+        )(x)
+        out_scalar = scaled_silu(h[:, :1, :])          # [N, 1, H]
+        scalar_summary = out_scalar[:, 0, :]
+        out = [out_scalar]
+        for l in range(1, self.lmax + 1):
+            gate = jax.nn.sigmoid(
+                Dense(
+                    self.hidden_channels,
+                    kernel_init=nn.initializers.zeros,
+                    bias_init=nn.initializers.constant(2.0),
+                    name=f"gate_proj_{l}",
+                )(scalar_summary)
+            )
+            sl = slice(l * l, l * l + 2 * l + 1)
+            out.append(h[:, sl, :] * gate[:, None, :])
+        h = jnp.concatenate(out, axis=1)
+        return SO3Linear(
+            self.hidden_channels, self.output_channels, self.lmax,
+            name="so3_linear_2",
+        )(h)
 
 
 class FeedForward(nn.Module):

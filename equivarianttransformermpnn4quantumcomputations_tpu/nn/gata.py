@@ -20,7 +20,48 @@ import jax.numpy as jnp
 
 from .layers import Dense, fan_in_normal
 
-__all__ = ["HTR", "GATAValueActivation"]
+__all__ = ["HTR", "GATAValueActivation", "gata_value_activation_v1"]
+
+
+def gata_value_activation_v1(gates, X_j, rl_ij, lmax: int, hidden_channels: int):
+    """GATA **v1** value activation (parameter-free).
+
+    Reference models/NewFunctions/Gotennet_inspired/activation.py:168-245 —
+    the original GotenNet-*inspired* fork used by
+    equiformerv2_MatPES_GATA.py:35.  Differences from V2
+    (:class:`GATAValueActivation`):
+
+    * no ``t_ij`` stream / HTR and no ``W_rs(t_ij) * gamma_s(h_j)`` bias —
+      the gates o_s / o_d^(l) / o_t^(l) come straight from so2_conv_1's
+      extra m=0 output;
+    * ``X_j`` is used **unprojected** (requires
+      ``hidden_channels == sphere_channels``, as in the reference config
+      where attn_hidden_channels == sphere_channels == 128);
+    * the output keeps the FULL (lmax+1)^2 coefficient width — no mmax
+      clipping — so the model must run with ``mmax == lmax`` (the reference
+      config comment 'mmax_list: [4]  # was 2...' records exactly this
+      constraint, configs/MatPES/config_cosinelearningGATA.py:110);
+    * alpha is applied the *baseline* way (per-head weights after
+      so2_conv_2), not as a head-mean scale of the gates.
+
+    gates: [E, (1+2*lmax)*C]; X_j: [E, K_full-1, C] unrotated;
+    rl_ij: [E, K_full-1].  Returns [E, K_full, C].
+    """
+    C = hidden_channels
+    rl_ij = rl_ij.astype(gates.dtype)
+    out = [jax.nn.silu(gates[:, :C])[:, None, :]]
+    offset = 0
+    for l in range(1, lmax + 1):
+        d = 2 * l + 1
+        rl = rl_ij[:, offset : offset + d][..., None]       # [E, d, 1]
+        Xl = X_j[:, offset : offset + d, :]                 # [E, d, C]
+        offset += d
+        od = gates[:, (1 + (l - 1)) * C : (1 + l) * C][:, None, :]
+        ot = gates[
+            :, (1 + lmax + (l - 1)) * C : (1 + lmax + l) * C
+        ][:, None, :]
+        out.append(od * rl + ot * Xl)
+    return jnp.concatenate(out, axis=1)
 
 
 def _xavier_uniform():

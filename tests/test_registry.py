@@ -51,6 +51,7 @@ def test_all_reference_models_registered():
         "equiformer_v2_matpes_gatav2_htr_global_distance",
         "equiformer_v2_matpes_gatav2_moe",
         "equiformer_v2_matpes_gatav2_dual_stream",
+        "equiformer_v2_matpes_gata_esen_ffn",
     ]:
         assert expected in names, expected
 
