@@ -147,25 +147,26 @@ class EquiformerV2MatPES(nn.Module):
             )
 
             gm, nm = batch["graph_idx"], batch["node_mask"]
+            # dense per-graph packing (O(B n_max^2) instead of O((Bn)^2))
+            # for EVERY variant when global_attn_dense_n_max is set
+            dense_kw = dict(
+                node_slot=(
+                    batch["node_slot"] if self.global_attn_dense_n_max else None
+                ),
+                n_max=self.global_attn_dense_n_max,
+                num_graphs=(
+                    batch["cell"].shape[0]
+                    if self.global_attn_dense_n_max
+                    else None
+                ),
+            )
             if self.global_attn == "scalar":
                 scal = GlobalScalarAttention(
                     d_model=self.sphere_channels,
                     num_heads=self.global_attn_heads,
                     name="global_attn",
-                )(
-                    x[:, 0, :], gm, nm, pos, deterministic=deterministic,
-                    node_slot=(
-                        batch["node_slot"]
-                        if self.global_attn_dense_n_max
-                        else None
-                    ),
-                    n_max=self.global_attn_dense_n_max,
-                    num_graphs=(
-                        batch["cell"].shape[0]
-                        if self.global_attn_dense_n_max
-                        else None
-                    ),
-                )
+                )(x[:, 0, :], gm, nm, pos, deterministic=deterministic,
+                  **dense_kw)
                 x = jnp.concatenate([scal[:, None, :], x[:, 1:, :]], axis=1)
             elif self.global_attn == "full":
                 x = GlobalFullAttention(
@@ -173,14 +174,14 @@ class EquiformerV2MatPES(nn.Module):
                     num_coeffs=(self.lmax + 1) ** 2,
                     num_heads=self.global_attn_heads,
                     name="global_attn",
-                )(x, gm, nm, pos, deterministic=deterministic)
+                )(x, gm, nm, pos, deterministic=deterministic, **dense_kw)
             elif self.global_attn == "full_equivariant":
                 x = GlobalFullEquivariantAttention(
                     sphere_channels=self.sphere_channels,
                     lmax=self.lmax,
                     num_heads=self.global_attn_heads,
                     name="global_attn",
-                )(x, gm, nm, deterministic=deterministic)
+                )(x, gm, nm, deterministic=deterministic, **dense_kw)
             elif self.global_attn in ("htr", "htr_distance", "htr_rope"):
                 x = GlobalHTRAttention(
                     sphere_channels=self.sphere_channels,
@@ -189,7 +190,7 @@ class EquiformerV2MatPES(nn.Module):
                     use_distance=(self.global_attn == "htr_distance"),
                     use_rope=(self.global_attn == "htr_rope"),
                     name="global_attn",
-                )(x, gm, nm, pos, deterministic=deterministic)
+                )(x, gm, nm, pos, deterministic=deterministic, **dense_kw)
             else:
                 raise ValueError(self.global_attn)
 

@@ -14,12 +14,14 @@ Re-designs of reference models/NewFunctions/GATA_and_all2all/activation.py:
   s_ij = sum_l <X_i^(l), Y_l(r_ij_hat)> / (2l+1), optional fixed-center RBF
   distance term, optional RoPE logit bias.
 
-TPU-first shape policy: instead of the reference's per-graph Python padding
-loops, attention runs over the flat padded node axis [N_pad, N_pad] with a
-same-graph & validity mask — fully static under jit.  (A block-dense
-per-graph packing is a later optimization; the masked form is the reference
-semantics exactly, including softmax rows that are fully masked -> zeros,
-matching the reference's nan_to_num at :667/:843/:1008.)
+TPU-first shape policy: one batched attention core serves two layouts.
+With ``(node_slot, n_max, num_graphs)`` provided, nodes are packed per graph
+into ``[B, n_max, ...]`` (the reference's per-graph Python padding loops,
+vectorized) and attention costs O(B n_max^2).  Without them, the same code
+runs on the flat padded axis as a B=1 batch with a same-graph pair mask —
+O(N_pad^2).  Both paths share identical parameters; results match up to fp
+summation order.  Fully-masked softmax rows produce zeros, matching the
+reference's nan_to_num at :667/:843/:1008.
 
 Faithfulness note: the reference finishes each degree with a standard
 LayerNorm over channels applied per coefficient (:875-877), whose centering
@@ -89,9 +91,64 @@ def _masked_softmax(logits, mask):
     return jnp.where(mask, w, 0.0)
 
 
+class _Packing:
+    """Uniform [B, n, ...] view of the node axis.
+
+    Dense mode (node_slot/n_max/num_graphs given): per-graph packing; pair
+    mask is row-validity only (a row holds exactly one graph).  Flat mode:
+    B=1 view of the padded axis; pair mask additionally encodes the
+    same-graph constraint.
+    """
+
+    def __init__(self, graph_idx, node_mask, node_slot, n_max, num_graphs):
+        self.graph_idx = graph_idx
+        self.node_mask = node_mask
+        self.node_slot = node_slot
+        self.dense = (
+            node_slot is not None and n_max is not None and bool(num_graphs)
+        )
+        if self.dense:
+            self.B, self.n = num_graphs, n_max
+            self.valid = dense_mask(
+                node_mask, graph_idx, node_slot, num_graphs, n_max
+            )  # [B, n]
+            self.pair = self.valid[:, :, None] & self.valid[:, None, :]
+        else:
+            self.B, self.n = 1, graph_idx.shape[0]
+            self.valid = node_mask[None]                     # [1, N]
+            self.pair = _pair_mask(graph_idx, node_mask)[None]
+
+    def pack(self, x):
+        """[N, ...] -> [B, n, ...]"""
+        if self.dense:
+            return to_dense(
+                x, self.graph_idx, self.node_slot, self.B, self.n
+            )
+        return x[None]
+
+    def unpack(self, xb):
+        """[B, n, ...] -> [N, ...] (padding rows zeroed)."""
+        if self.dense:
+            out = from_dense(xb, self.graph_idx, self.node_slot)
+            keep = self.node_mask.reshape(
+                (-1,) + (1,) * (out.ndim - 1)
+            )
+            return out * keep.astype(out.dtype)
+        return xb[0]
+
+    def pair_no_self(self):
+        if self.dense:
+            eye = jnp.eye(self.n, dtype=bool)[None]
+            return self.pair & ~eye
+        return _pair_mask(self.graph_idx, self.node_mask, exclude_self=True)[
+            None
+        ]
+
+
 class _RopeBias(nn.Module):
     """Per-head additive logit bias from Fourier features of pair distances
-    (reference :464-507); positions are gradient-stopped (reference :560)."""
+    (reference :464-507); positions are gradient-stopped (reference :560).
+    Batched: pos [B, n, 3], pair_mask [B, n, n] -> [B, H, n, n]."""
 
     num_heads: int
     rope_dim: int = 16
@@ -99,17 +156,17 @@ class _RopeBias(nn.Module):
     @nn.compact
     def __call__(self, pos, pair_mask):
         pos = jax.lax.stop_gradient(pos)
-        diff = pos[:, None, :] - pos[None, :, :]
+        diff = pos[:, :, None, :] - pos[:, None, :, :]
         dist = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, -1), 1e-12))
         freqs = self.param(
             "rope_freqs",
             lambda k, s: jax.random.normal(k, s) * 0.1,
             (self.rope_dim,),
         )
-        fourier = jnp.cos(dist[..., None] * jnp.abs(freqs))  # [N, N, D]
+        fourier = jnp.cos(dist[..., None] * jnp.abs(freqs))  # [B, n, n, D]
         bias = Dense(self.num_heads, use_bias=False, name="rope_proj")(fourier)
         bias = jnp.where(pair_mask[..., None], bias, 0.0)
-        return jnp.moveaxis(bias, -1, 0)  # [H, N, N]
+        return jnp.moveaxis(bias, -1, 1)  # [B, H, n, n]
 
 
 class GlobalScalarAttention(nn.Module):
@@ -132,83 +189,36 @@ class GlobalScalarAttention(nn.Module):
         per-graph dense packing [B, n_max] — O(B n^2) instead of O((Bn)^2),
         identical results and parameters to the flat masked path.
         """
-        N = x.shape[0]
         H, D = self.num_heads, self.d_model // self.num_heads
+        p = _Packing(graph_idx, node_mask, node_slot, n_max, num_graphs)
         qkv = Dense(3 * self.d_model, use_bias=False, name="qkv_proj")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
-
-        dense = node_slot is not None and n_max is not None and num_graphs
-        if dense:
-            B = num_graphs
-            qd = to_dense(q, graph_idx, node_slot, B, n_max).reshape(
-                B, n_max, H, D
+        qd = p.pack(q).reshape(p.B, p.n, H, D)
+        kd = p.pack(k).reshape(p.B, p.n, H, D)
+        vd = p.pack(v).reshape(p.B, p.n, H, D)
+        logits = jnp.einsum("bihd,bjhd->bhij", qd, kd) / np.sqrt(D)
+        if self.use_rope:
+            posd = p.pack(jax.lax.stop_gradient(pos))
+            diff = posd[:, :, None, :] - posd[:, None, :, :]
+            dist = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, -1), 1e-12))
+            freqs = self.param(
+                "rope_freqs",
+                lambda key, s: jax.random.normal(key, s) * 0.1,
+                (self.rope_dim,),
             )
-            kd = to_dense(k, graph_idx, node_slot, B, n_max).reshape(
-                B, n_max, H, D
-            )
-            vd = to_dense(v, graph_idx, node_slot, B, n_max).reshape(
-                B, n_max, H, D
-            )
-            dm = dense_mask(node_mask, graph_idx, node_slot, B, n_max)
-            logits = jnp.einsum("bihd,bjhd->bhij", qd, kd) / np.sqrt(D)
-            if self.use_rope:
-                posd = to_dense(
-                    jax.lax.stop_gradient(pos), graph_idx, node_slot, B, n_max
-                )
-                diff = posd[:, :, None, :] - posd[:, None, :, :]
-                dist = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, -1), 1e-12))
-                freqs = self.param(
-                    "rope_freqs",
-                    lambda key, s: jax.random.normal(key, s) * 0.1,
-                    (self.rope_dim,),
-                )
-                fourier = jnp.cos(dist[..., None] * jnp.abs(freqs))
-                bias = Dense(H, use_bias=False, name="rope_proj")(fourier)
-                pmd = dm[:, :, None] & dm[:, None, :]
-                bias = jnp.where(pmd[..., None], bias, 0.0)
-                logits = logits + jnp.moveaxis(bias, -1, 1)
-            pm = (dm[:, None, None, :]).astype(bool)
-            logits = jnp.where(pm, logits, _NEG)
-            attn = jax.nn.softmax(logits, axis=-1)
-            attn = jnp.where(pm, attn, 0.0)
-            if self.dropout > 0.0:
-                attn = nn.Dropout(self.dropout)(
-                    attn, deterministic=deterministic
-                )
-            outd = jnp.einsum("bhij,bjhd->bihd", attn, vd).reshape(
-                B, n_max, self.d_model
-            )
-            out = from_dense(outd, graph_idx, node_slot)
-            out = out * node_mask[:, None].astype(out.dtype)
-        else:
-            q = q.reshape(N, H, D)
-            k = k.reshape(N, H, D)
-            v = v.reshape(N, H, D)
-            logits = jnp.einsum("ihd,jhd->hij", q, k) / np.sqrt(D)
-            pm = _pair_mask(graph_idx, node_mask)
-            if self.use_rope:
-                posf = jax.lax.stop_gradient(pos)
-                diff = posf[:, None, :] - posf[None, :, :]
-                dist = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, -1), 1e-12))
-                freqs = self.param(
-                    "rope_freqs",
-                    lambda key, sh: jax.random.normal(key, sh) * 0.1,
-                    (self.rope_dim,),
-                )
-                fourier = jnp.cos(dist[..., None] * jnp.abs(freqs))
-                bias = Dense(H, use_bias=False, name="rope_proj")(fourier)
-                bias = jnp.where(pm[..., None], bias, 0.0)
-                logits = logits + jnp.moveaxis(bias, -1, 0)
-            attn = _masked_softmax(logits, pm[None])
-            if self.dropout > 0.0:
-                attn = nn.Dropout(self.dropout)(
-                    attn, deterministic=deterministic
-                )
-            out = jnp.einsum("hij,jhd->ihd", attn, v).reshape(N, self.d_model)
+            fourier = jnp.cos(dist[..., None] * jnp.abs(freqs))
+            bias = Dense(H, use_bias=False, name="rope_proj")(fourier)
+            bias = jnp.where(p.pair[..., None], bias, 0.0)
+            logits = logits + jnp.moveaxis(bias, -1, 1)
+        attn = _masked_softmax(logits, p.pair[:, None])
+        if self.dropout > 0.0:
+            attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+        outd = jnp.einsum("bhij,bjhd->bihd", attn, vd).reshape(
+            p.B, p.n, self.d_model
+        )
+        out = p.unpack(outd)
         out = Dense(self.d_model, use_bias=False, name="out_proj")(out)
         return nn.LayerNorm(name="norm")(x + out)
-
-
 
 
 class GlobalFullAttention(nn.Module):
@@ -223,27 +233,32 @@ class GlobalFullAttention(nn.Module):
     rope_dim: int = 16
 
     @nn.compact
-    def __call__(self, x, graph_idx, node_mask, pos, deterministic=True):
+    def __call__(
+        self, x, graph_idx, node_mask, pos, deterministic=True,
+        node_slot=None, n_max: int | None = None, num_graphs: int | None = None,
+    ):
         """x: [N, K, C] -> [N, K, C]."""
         N = x.shape[0]
         flat = self.num_coeffs * self.d_model
         H = self.num_heads
         D = flat // H
+        p = _Packing(graph_idx, node_mask, node_slot, n_max, num_graphs)
         xf = x.reshape(N, flat)
         qkv = Dense(3 * flat, use_bias=False, name="qkv_proj")(xf)
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        q = q.reshape(N, H, D)
-        k = k.reshape(N, H, D)
-        v = v.reshape(N, H, D)
-        logits = jnp.einsum("ihd,jhd->hij", q, k) / np.sqrt(D)
-        pm = _pair_mask(graph_idx, node_mask)
+        qd = p.pack(q).reshape(p.B, p.n, H, D)
+        kd = p.pack(k).reshape(p.B, p.n, H, D)
+        vd = p.pack(v).reshape(p.B, p.n, H, D)
+        logits = jnp.einsum("bihd,bjhd->bhij", qd, kd) / np.sqrt(D)
         if self.use_rope:
-            logits = logits + _RopeBias(H, self.rope_dim, name="rope")(pos, pm)
-        attn = _masked_softmax(logits, pm[None])
+            logits = logits + _RopeBias(H, self.rope_dim, name="rope")(
+                p.pack(pos), p.pair
+            )
+        attn = _masked_softmax(logits, p.pair[:, None])
         if self.dropout > 0.0:
             attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
-        out = jnp.einsum("hij,jhd->ihd", attn, v).reshape(N, flat)
-        out = Dense(flat, use_bias=False, name="out_proj")(out)
+        outd = jnp.einsum("bhij,bjhd->bihd", attn, vd).reshape(p.B, p.n, flat)
+        out = Dense(flat, use_bias=False, name="out_proj")(p.unpack(outd))
         out = nn.LayerNorm(name="norm")(xf + out)
         return out.reshape(N, self.num_coeffs, self.d_model)
 
@@ -258,32 +273,39 @@ class GlobalFullEquivariantAttention(nn.Module):
     dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, x, graph_idx, node_mask, deterministic=True):
+    def __call__(
+        self, x, graph_idx, node_mask, deterministic=True,
+        node_slot=None, n_max: int | None = None, num_graphs: int | None = None,
+    ):
         """x: [N, (lmax+1)^2, C] -> same."""
         N = x.shape[0]
         C = self.sphere_channels
         H = self.num_heads
         D = C // H
-        pm = _pair_mask(graph_idx, node_mask)
+        p = _Packing(graph_idx, node_mask, node_slot, n_max, num_graphs)
         out_blocks = []
         for l in range(self.lmax + 1):
             sl = slice(l * l, l * l + 2 * l + 1)
             feat = x[:, sl, :]                                 # [N, m, C]
             norm = jnp.sqrt(jnp.maximum(jnp.sum(feat * feat, 1), 1e-12))
-            q = Dense(C, name=f"q_proj_{l}")(norm).reshape(N, H, D)
-            k = Dense(C, name=f"k_proj_{l}")(norm).reshape(N, H, D)
-            v = Dense(C, use_bias=False, name=f"v_proj_{l}")(feat)
-            v = v.reshape(N, 2 * l + 1, H, D)
-            logits = jnp.einsum("ihd,jhd->hij", q, k) / np.sqrt(D)
-            attn = _masked_softmax(logits, pm[None])
+            q = p.pack(Dense(C, name=f"q_proj_{l}")(norm)).reshape(
+                p.B, p.n, H, D
+            )
+            k = p.pack(Dense(C, name=f"k_proj_{l}")(norm)).reshape(
+                p.B, p.n, H, D
+            )
+            v = p.pack(Dense(C, use_bias=False, name=f"v_proj_{l}")(feat))
+            v = v.reshape(p.B, p.n, 2 * l + 1, H, D)
+            logits = jnp.einsum("bihd,bjhd->bhij", q, k) / np.sqrt(D)
+            attn = _masked_softmax(logits, p.pair[:, None])
             if self.dropout > 0.0:
                 attn = nn.Dropout(self.dropout)(
                     attn, deterministic=deterministic
                 )
-            o = jnp.einsum("hij,jmhd->imhd", attn, v).reshape(
-                N, 2 * l + 1, C
+            o = jnp.einsum("bhij,bjmhd->bimhd", attn, v).reshape(
+                p.B, p.n, 2 * l + 1, C
             )
-            o = Dense(C, use_bias=False, name=f"out_proj_{l}")(o)
+            o = Dense(C, use_bias=False, name=f"out_proj_{l}")(p.unpack(o))
             # reference applies a standard LN over C per coefficient
             # (:875-877) — faithful, though its centering/bias are not
             # strictly equivariant for l > 0
@@ -307,28 +329,31 @@ class GlobalHTRAttention(nn.Module):
     rope_dim: int = 16
 
     @nn.compact
-    def __call__(self, x, graph_idx, node_mask, pos, deterministic=True):
+    def __call__(
+        self, x, graph_idx, node_mask, pos, deterministic=True,
+        node_slot=None, n_max: int | None = None, num_graphs: int | None = None,
+    ):
         """x: [N, (lmax+1)^2, C] -> same."""
-        N = x.shape[0]
         C = self.sphere_channels
         H = self.num_heads
         D = C // H
-        pm_noself = _pair_mask(graph_idx, node_mask, exclude_self=True)
-        pm = _pair_mask(graph_idx, node_mask)
+        p = _Packing(graph_idx, node_mask, node_slot, n_max, num_graphs)
+        pm_noself = p.pair_no_self()
 
-        # pairwise directions (detached geometry)
-        posd = jax.lax.stop_gradient(pos)
-        diff = posd[:, None, :] - posd[None, :, :]
+        # pairwise directions (detached geometry): [B, n, n, 3]
+        posd = p.pack(jax.lax.stop_gradient(pos))
+        diff = posd[:, :, None, :] - posd[:, None, :, :]
         dist = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, -1), 1e-16))
         r_hat = diff / jnp.maximum(dist, 1e-8)[..., None]
 
-        # Y_l(r_hat) for all degrees at once: [N, N, (lmax+1)^2]
+        # Y_l(r_hat) for all degrees at once: [B, n, n, (lmax+1)^2]
         sh = real_sph_harm(self.lmax, r_hat, normalization="norm")
 
-        score = jnp.zeros((N, N, C), dtype=x.dtype)
+        xb = p.pack(x)                                  # [B, n, K, C]
+        score = jnp.zeros(dist.shape + (C,), dtype=x.dtype)
         for l in range(self.lmax + 1):
             sl = slice(l * l, l * l + 2 * l + 1)
-            ip = jnp.einsum("imc,ijm->ijc", x[:, sl, :], sh[:, :, sl])
+            ip = jnp.einsum("bimc,bijm->bijc", xb[:, :, sl, :], sh[..., sl])
             score = score + ip / (2 * l + 1)
 
         if self.use_distance:
@@ -339,12 +364,27 @@ class GlobalHTRAttention(nn.Module):
 
         score = jnp.where(pm_noself[..., None], score, 0.0)
 
-        q = Dense(C, name="q_proj")(jnp.mean(score, axis=1)).reshape(N, H, D)
-        k = Dense(C, name="k_proj")(jnp.mean(score, axis=0)).reshape(N, H, D)
-        logits = jnp.einsum("ihd,jhd->hij", q, k) / np.sqrt(D)
+        # masked mean over valid pairs (the reference's plain .mean() divides
+        # by the padded axis length — a batch-composition-dependent quirk;
+        # the masked mean makes flat and dense layouts agree exactly)
+        cnt_j = jnp.maximum(
+            jnp.sum(pm_noself, axis=2).astype(score.dtype), 1.0
+        )[..., None]
+        cnt_i = jnp.maximum(
+            jnp.sum(pm_noself, axis=1).astype(score.dtype), 1.0
+        )[..., None]
+        q = Dense(C, name="q_proj")(
+            jnp.sum(score, axis=2) / cnt_j
+        ).reshape(p.B, p.n, H, D)
+        k = Dense(C, name="k_proj")(
+            jnp.sum(score, axis=1) / cnt_i
+        ).reshape(p.B, p.n, H, D)
+        logits = jnp.einsum("bihd,bjhd->bhij", q, k) / np.sqrt(D)
         if self.use_rope:
-            logits = logits + _RopeBias(H, self.rope_dim, name="rope")(pos, pm)
-        attn = _masked_softmax(logits, pm[None])
+            logits = logits + _RopeBias(H, self.rope_dim, name="rope")(
+                posd, p.pair
+            )
+        attn = _masked_softmax(logits, p.pair[:, None])
         if self.dropout > 0.0:
             attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
 
@@ -352,12 +392,12 @@ class GlobalHTRAttention(nn.Module):
         for l in range(self.lmax + 1):
             sl = slice(l * l, l * l + 2 * l + 1)
             feat = x[:, sl, :]
-            v = Dense(C, use_bias=(l == 0), name=f"v_proj_{l}")(feat)
-            v = v.reshape(N, 2 * l + 1, H, D)
-            o = jnp.einsum("hij,jmhd->imhd", attn, v).reshape(
-                N, 2 * l + 1, C
+            v = p.pack(Dense(C, use_bias=(l == 0), name=f"v_proj_{l}")(feat))
+            v = v.reshape(p.B, p.n, 2 * l + 1, H, D)
+            o = jnp.einsum("bhij,bjmhd->bimhd", attn, v).reshape(
+                p.B, p.n, 2 * l + 1, C
             )
-            o = Dense(C, use_bias=False, name=f"out_proj_{l}")(o)
+            o = Dense(C, use_bias=False, name=f"out_proj_{l}")(p.unpack(o))
             o = nn.LayerNorm(name=f"norm_{l}")(feat + o)
             out_blocks.append(o)
         return jnp.concatenate(out_blocks, axis=1)

@@ -76,11 +76,13 @@ def test_cross_graph_isolation():
     assert not np.allclose(ea[1], eb[1], atol=1e-4)
 
 
-def test_dense_packing_matches_flat():
-    """Dense per-graph scalar attention == flat masked, same params."""
+@pytest.mark.parametrize("variant", VARIANTS)
+def test_dense_packing_matches_flat(variant):
+    """Dense per-graph packing == flat masked for EVERY variant, same params
+    (VERDICT r1 #5: O(B n_max^2) wired into all global-attention variants)."""
     rng = np.random.default_rng(3)
     g0, g1 = mol(rng, n=5), mol(rng, n=4)
-    ms = {**TINY, "global_attn": "scalar"}
+    ms = {**TINY, "global_attn": variant}
     flat_model = EquiformerV2MatPES(**ms)
     dense_model = EquiformerV2MatPES(**ms, global_attn_dense_n_max=6)
     b = to_jnp(collate([g0, g1], 5.0, 20, n_pad=12, e_pad=64))
@@ -88,6 +90,11 @@ def test_dense_packing_matches_flat():
     e_flat = np.asarray(flat_model.apply(params, b)["energy_total"])
     e_dense = np.asarray(dense_model.apply(params, b)["energy_total"])
     assert np.allclose(e_flat, e_dense, atol=1e-4), (e_flat, e_dense)
+    # params are layout-independent: dense model init == flat model init
+    p2 = dense_model.init(jax.random.PRNGKey(0), b)
+    s1 = jax.tree_util.tree_map(lambda a: a.shape, params)
+    s2 = jax.tree_util.tree_map(lambda a: a.shape, p2)
+    assert s1 == s2
 
 
 def test_scalar_global_attn_invariance():
