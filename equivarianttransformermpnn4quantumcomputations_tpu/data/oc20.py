@@ -63,7 +63,15 @@ class OC20Dataset:
         paths: Sequence[str] | str,
         normalize: bool = True,
         max_samples: int | None = None,
+        quick_init: bool = False,
+        quick_init_sample: int = 10,
     ):
+        """``quick_init=True`` estimates frame counts from a small sample of
+        files instead of parsing every file up front (reference
+        data_loader_oc20v2.py:57-83) — at 2M-frame scale the exact count
+        costs hours before step 1.  Like the reference, estimated counts mean
+        a few indices at the end of each file may be inaccessible (wrapped to
+        the last frame here rather than raising)."""
         from ase.io import read  # gated
 
         self._read = read
@@ -78,11 +86,15 @@ class OC20Dataset:
                 paths = [paths]
         self.paths = list(paths)
         self.normalize = normalize
+        self.quick_init = quick_init
         # cumulative frame counts per file (reference :27-83)
-        counts = []
-        for p in self.paths:
-            frames = read(p, index=":")
-            counts.append(len(frames))
+        if quick_init:
+            sample = self.paths[: max(1, min(quick_init_sample, len(self.paths)))]
+            per_file = [len(read(p, index=":")) for p in sample]
+            avg = max(1, int(sum(per_file) / len(per_file)))
+            counts = [avg] * len(self.paths)
+        else:
+            counts = [len(read(p, index=":")) for p in self.paths]
         self.cumsum = np.concatenate([[0], np.cumsum(counts)])
         self.n = int(self.cumsum[-1])
         if max_samples is not None:
@@ -94,7 +106,14 @@ class OC20Dataset:
     def __getitem__(self, idx: int) -> GraphSample:
         f = int(np.searchsorted(self.cumsum, idx, side="right")) - 1
         local = idx - int(self.cumsum[f])
-        atoms = self._read(self.paths[f], index=local)
+        try:
+            atoms = self._read(self.paths[f], index=local)
+        except (IndexError, StopIteration):
+            if not self.quick_init:
+                raise
+            # estimated counts can overshoot a file's true length
+            # (reference quick_init caveat) — clamp to its last frame
+            atoms = self._read(self.paths[f], index=-1)
         return _atoms_to_sample(atoms, self.normalize)
 
 

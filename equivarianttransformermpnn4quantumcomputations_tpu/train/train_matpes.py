@@ -14,6 +14,7 @@ NaN guard, EMA, SIGTERM emergency checkpoint, W&B-or-CSV logging included.
 from __future__ import annotations
 
 import argparse
+import os
 import time
 
 import numpy as np
@@ -220,6 +221,14 @@ def main(argv=None):
         if score < best_val:
             best_val = score
             ckpt.save_best(state, {"epoch": epoch, "val_score": score})
+            # W&B model artifact (reference train_MatPES_GATAWandB.py:477-482)
+            logger.log_model_artifact(
+                os.path.join(cfg["run_dir"], "ckpt_best"),
+                name="best-model",
+                description=(
+                    f"Best val E+F MAE = {score:.3f} meV at epoch {epoch}"
+                ),
+            )
         if (epoch + 1) % cfg["ckpt_every_epochs"] == 0:
             ckpt.save_periodic(epoch, state, {"val_score": score})
 

@@ -73,6 +73,31 @@ class RunLogger:
         if self.wandb is not None:
             self.wandb.log({f"epoch/{k}": v for k, v in row.items()})
 
+    def log_model_artifact(
+        self, path: str, name: str = "best-model", description: str = "",
+    ):
+        """Upload a checkpoint as a W&B model artifact (reference
+        train_MatPES_GATAWandB.py:477-482).  No-op without wandb; always
+        records the pointer in metrics.json so the artifact trail exists in
+        file-only runs too."""
+        self._metrics.setdefault("model_artifacts", []).append(
+            {"name": name, "path": path, "description": description}
+        )
+        if self.wandb is not None:
+            try:
+                import wandb
+
+                artifact = wandb.Artifact(
+                    name=name, type="model", description=description
+                )
+                if os.path.isdir(path):
+                    artifact.add_dir(path)
+                else:
+                    artifact.add_file(path)
+                self.wandb.log_artifact(artifact)
+            except Exception:
+                pass  # zero-egress: pointer in metrics.json only
+
     def update_metrics(self, **kwargs):
         self._metrics.update(kwargs)
 
