@@ -29,6 +29,7 @@ __all__ = [
     "make_mesh",
     "make_dp_train_step_from_loss",
     "make_qm9_dp_step",
+    "make_oc20_dp_step",
     "make_matpes_dp_step",
     "stack_microbatches",
     "shard_batch",
@@ -126,6 +127,35 @@ def make_qm9_dp_step(model, tx, mesh: Mesh, loss_kind: str = "l1"):
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         return {"loss": loss}, grads
+
+    step = make_dp_train_step_from_loss(
+        loss_grad, _apply_updates_factory(tx), mesh
+    )
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def make_oc20_dp_step(model, tx, mesh: Mesh):
+    """Data-parallel OC20 train step: energy head + EXPLICIT force head,
+    E-MSE*2 + F-L1*100 (the reference's DDP trainer loss,
+    train_oc20v2_parallel.py:143-217)."""
+    from ..train.trainer import oc20_loss
+
+    def loss_grad(params, batch, rng):
+        def loss_fn(p):
+            out = model.apply(
+                p, batch, deterministic=False, rngs={"dropout": rng}
+            )
+            return oc20_loss(
+                out["energy"], batch["energy"],
+                out["forces"], batch["forces"], batch["node_mask"],
+            )
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params
+        )
+        metrics = dict(metrics)
+        metrics["loss"] = loss
+        return metrics, grads
 
     step = make_dp_train_step_from_loss(
         loss_grad, _apply_updates_factory(tx), mesh
