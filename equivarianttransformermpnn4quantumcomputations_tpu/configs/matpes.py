@@ -77,3 +77,23 @@ config_phi_every_layer = {**config, "use_phi_every_layer": True}
 # (reference equiformerv2_MatPES.py / train_MatPES_originalEFV2_WandB.py)
 config_baseline_efv2 = {**config, "gata": False, "regress_stress": True,
                         "w_stress": 0.1}
+
+# synthetic-LJ train-to-convergence (parity-numerics evidence, TPU):
+# the model must drive energy/force MAE on an analytic LJ surface well below
+# the literature target band (E ~3-5 meV/atom) — see PARITY_NUMERICS.md
+config_synthetic_convergence = {
+    **config,
+    "synthetic": True,
+    "max_train": 512,
+    "max_val": 64,
+    "cutoff": 5.0,
+    "num_layers": 4,
+    "num_rbf": 128,
+    "batch_size": 32,
+    "epochs": 200,
+    "warmup_epochs": 5,
+    "lr": 1e-3,
+    "alpha_drop": 0.0,
+    "drop_path_rate": 0.0,
+    "run_dir": "runs/matpes_synth_convergence",
+}

@@ -268,17 +268,10 @@ class EquiformerV2Backbone(nn.Module):
             return (out, prev_t, prev_a)
 
         if self.scan_layers:
-            from ..nn import activations as _act
-
-            if _act._S2_FUSED and jax.default_backend() == "tpu" and (
-                self.use_sep_s2_act or not self.use_gate_act
-            ):
-                raise ValueError(
-                    "scan_layers=True is incompatible with the fused Pallas "
-                    "S2 kernel (custom_vjp residuals misbind under flax's "
-                    "lifted scan). Either set scan_layers=False (default "
-                    "bench path) or export ETQ_S2_FUSED=0."
-                )
+            # scan_layers + fused S2 kernel is safe: the kernel pads its node
+            # axis OUTSIDE the custom_vjp boundary (ops/pallas/s2act.py:_call
+            # — a pad literal inside a custom_vjp primal corrupts residual
+            # binding under lax.scan second-order AD)
             from ..nn.block import BlockScanBody
 
             body_cls = BlockScanBody

@@ -61,7 +61,15 @@ _CHUNK_THRESHOLD = int(
 _CHUNK_TARGET = int(os.environ.get("ETQ_S2_CHUNK_MB", 256)) * 1024 * 1024
 _S2_CKPT = os.environ.get("ETQ_S2_CKPT", "1") == "1"
 # fused Pallas kernel (ops/pallas/s2act.py): grid tensors never touch HBM.
-_S2_FUSED = os.environ.get("ETQ_S2_FUSED", "1") == "1"
+# "1" (default): use on TPU.  "0": never.  "force": use even off-TPU
+# (interpret mode — for tests of the kernel's AD chain on CPU).
+_S2_FUSED = os.environ.get("ETQ_S2_FUSED", "1")
+
+
+def _use_fused() -> bool:
+    return _S2_FUSED == "force" or (
+        _S2_FUSED == "1" and jax.default_backend() == "tpu"
+    )
 
 
 def s2_activation(x, grid: S2Grid):
@@ -73,7 +81,7 @@ def s2_activation(x, grid: S2Grid):
     pts = grid.res_beta * grid.res_alpha
     full_bytes = N * pts * C * 4
 
-    if _S2_FUSED and jax.default_backend() == "tpu":
+    if _use_fused():
         from ..ops.pallas.s2act import s2act_fused
 
         return s2act_fused(x, grid)

@@ -160,7 +160,7 @@ class GraphAttention(nn.Module):
         def compute_alpha(x0_alpha):
             a = x0_alpha.reshape(-1, self.num_heads, self.attn_alpha_channels)
             if self.use_attn_renorm:
-                a = nn.LayerNorm(name="alpha_norm")(a)
+                a = nn.LayerNorm(epsilon=1e-5, name="alpha_norm")(a)
             a = smooth_leaky_relu(a)
             dot = self.param(
                 "alpha_dot",

@@ -44,7 +44,7 @@ class AngularHTR(nn.Module):
             lmax=self.lmax, num_channels=self.sphere_channels, name="x_norm"
         )(x)
         X_all = x[:, 1:, :]
-        t_n = nn.LayerNorm(name="t_norm")(t_ij)
+        t_n = nn.LayerNorm(epsilon=1e-5, name="t_norm")(t_ij)
 
         # per-source mean degree (guard NaN; reference :1433-1436)
         ones = jnp.ones(E, dtype=a_ij.dtype)

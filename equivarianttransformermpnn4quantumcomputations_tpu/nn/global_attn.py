@@ -218,7 +218,7 @@ class GlobalScalarAttention(nn.Module):
         )
         out = p.unpack(outd)
         out = Dense(self.d_model, use_bias=False, name="out_proj")(out)
-        return nn.LayerNorm(name="norm")(x + out)
+        return nn.LayerNorm(epsilon=1e-5, name="norm")(x + out)
 
 
 class GlobalFullAttention(nn.Module):
@@ -259,7 +259,7 @@ class GlobalFullAttention(nn.Module):
             attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
         outd = jnp.einsum("bhij,bjhd->bihd", attn, vd).reshape(p.B, p.n, flat)
         out = Dense(flat, use_bias=False, name="out_proj")(p.unpack(outd))
-        out = nn.LayerNorm(name="norm")(xf + out)
+        out = nn.LayerNorm(epsilon=1e-5, name="norm")(xf + out)
         return out.reshape(N, self.num_coeffs, self.d_model)
 
 
@@ -309,7 +309,7 @@ class GlobalFullEquivariantAttention(nn.Module):
             # reference applies a standard LN over C per coefficient
             # (:875-877) — faithful, though its centering/bias are not
             # strictly equivariant for l > 0
-            o = nn.LayerNorm(name=f"norm_{l}")(feat + o)
+            o = nn.LayerNorm(epsilon=1e-5, name=f"norm_{l}")(feat + o)
             out_blocks.append(o)
         return jnp.concatenate(out_blocks, axis=1)
 
@@ -398,6 +398,6 @@ class GlobalHTRAttention(nn.Module):
                 p.B, p.n, 2 * l + 1, C
             )
             o = Dense(C, use_bias=False, name=f"out_proj_{l}")(p.unpack(o))
-            o = nn.LayerNorm(name=f"norm_{l}")(feat + o)
+            o = nn.LayerNorm(epsilon=1e-5, name=f"norm_{l}")(feat + o)
             out_blocks.append(o)
         return jnp.concatenate(out_blocks, axis=1)

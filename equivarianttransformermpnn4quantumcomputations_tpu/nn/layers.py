@@ -107,7 +107,7 @@ class RadialMLP(nn.Module):
             if i < len(chs) - 1:
                 # norm statistics always in f32 (cf. the reference's
                 # fp32-forced norms under AMP)
-                x = nn.LayerNorm(dtype=jnp.float32)(x).astype(x.dtype)
+                x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)(x).astype(x.dtype)
                 x = jax.nn.silu(x)
         return x
 

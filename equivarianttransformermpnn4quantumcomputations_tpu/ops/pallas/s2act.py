@@ -147,7 +147,15 @@ def _k3(a_ref, f_ref, x_ref, do_ref, ddx_ref, ddo_ref, dx2_ref):
 
 
 def _call(kernel, A, F, inputs, n_out: int, n_grid_bufs: int):
-    """Tile nodes x channel-blocks and invoke ``kernel`` (tables first)."""
+    """Tile nodes x channel-blocks and invoke ``kernel`` (tables first).
+
+    When the node axis is already tile-aligned, NO pad/slice ops are emitted:
+    a ``jnp.pad`` inside a custom_vjp primal binds a scalar literal that
+    corrupts the residual binding under ``lax.scan`` + second-order AD
+    (jax 0.9.0 — observed: bwd residuals arrive shifted by one with a ()
+    scalar prepended).  ``s2act_fused`` pre-pads outside the custom_vjp
+    boundary so the scan path always hits the aligned branch.
+    """
     x = inputs[0]
     N, K, C = x.shape
     P = A.shape[0]
@@ -155,7 +163,10 @@ def _call(kernel, A, F, inputs, n_out: int, n_grid_bufs: int):
     n_tiles = -(-N // T)
     n_cblk = C // Cb
     pad = n_tiles * T - N
-    padded = [jnp.pad(v, ((0, pad), (0, 0), (0, 0))) for v in inputs]
+    if pad == 0:
+        padded = list(inputs)
+    else:
+        padded = [jnp.pad(v, ((0, pad), (0, 0), (0, 0))) for v in inputs]
 
     table_spec = _block_spec((P, K), lambda i, j: (0, 0))
     io_spec = _block_spec((T, K, Cb), lambda i, j: (i, 0, j))
@@ -172,6 +183,8 @@ def _call(kernel, A, F, inputs, n_out: int, n_grid_bufs: int):
         out_shape=out_shapes if n_out > 1 else out_shapes[0],
         interpret=_interpret(),
     )(A, F, *padded)
+    if pad == 0:
+        return res
     if n_out == 1:
         return res[:N]
     return tuple(r[:N] for r in res)
@@ -234,10 +247,22 @@ def _tables(grid_key):
     return A, F
 
 
+# the node-axis tile never exceeds 128 (see _tile_nc); padding N to a
+# multiple of it OUTSIDE the custom_vjp keeps pad/slice ops out of every
+# custom_vjp primal in the chain (k2/k3 tiles are smaller powers of two, so
+# they divide this too) — required for lax.scan + grad-of-grad (see _call)
+_MAX_TILE = 128
+
+
 def s2act_fused(x, grid):
     """Fused S2 activation for an S2Grid (see module docstring)."""
     A, F = _tables(grid.cache_key)
-    return _s2_act(x, jnp.asarray(A), jnp.asarray(F))
+    N = x.shape[0]
+    pad = (-N) % _MAX_TILE
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0), (0, 0)))
+    out = _s2_act(x, jnp.asarray(A), jnp.asarray(F))
+    return out[:N] if pad else out
 
 
 def s2act_reference(x, grid):

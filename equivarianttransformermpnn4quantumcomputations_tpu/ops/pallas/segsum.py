@@ -4,23 +4,17 @@ Production entry point: ``gather_nodes`` — a node->edge gather whose
 backward (at EVERY derivative order) is a one-hot MXU matmul instead of the
 serialized TPU scatter-add (+9% end-to-end on the flagship train step).
 
-Also contains an experimental Pallas streaming segment-sum kernel.
-
 Message aggregation ``out[n] = sum_{e: dst[e]=n} msg[e]`` is a scatter-add —
 serialized and slow through XLA on TPU (measured 2.7 ms scatter / 1.8 ms via
-one-hot matmul at [10240, 25, 128] -> [512, ...]).  This kernel streams edge
-tiles through VMEM and accumulates rows into a VMEM-resident [N, D] output
-(sequential TPU grid), with no scatter and no one-hot FLOPs.
-
-Requirements (guaranteed by data/graph.py collate):
-* ``ids`` non-decreasing over real edges; padded edges may point anywhere as
-  long as their messages are zeroed (the wrapper masks them).
-* out fits VMEM: N * D * 4 bytes <= ~8 MB (true for message aggregation at
-  padded batch sizes; falls back to the matmul path otherwise).
+one-hot matmul at [10240, 25, 128] -> [512, ...]).  A streaming Pallas
+accumulate kernel (per-edge dynamic row writes into a VMEM-resident output)
+was prototyped and REJECTED: Mosaic requires dynamic row indices to be
+provably 8-aligned, so it never lowered; the one-hot GEMM has the same FLOPs
+and is the production path (PERF.md "Kernel findings").
 
 Differentiation: linear in ``vals`` — custom_vjp with a gather backward; the
-gather itself carries a custom_vjp whose backward is this kernel again, so
-every AD order stays scatter-free.
+gather itself carries a custom_vjp whose backward is the matmul segment-sum,
+so every AD order stays scatter-free.
 """
 
 from __future__ import annotations
@@ -29,58 +23,8 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
-from jax.experimental import pallas as pl
 
-try:
-    from jax.experimental.pallas import tpu as pltpu
-
-    _VMEM = pltpu.VMEM
-except Exception:  # pragma: no cover
-    pltpu = None
-    _VMEM = None
-
-__all__ = ["gather_nodes", "segment_sum_sorted_pallas", "seg_sum_available"]
-
-_MAX_OUT_BYTES = 8 * 1024 * 1024
-
-
-def _interpret() -> bool:
-    return jax.default_backend() != "tpu"
-
-
-def _spec(shape, index_map=None):
-    kwargs = {}
-    if _VMEM is not None:
-        kwargs["memory_space"] = _VMEM
-    return pl.BlockSpec(shape, index_map, **kwargs)
-
-
-def seg_sum_available(E: int, N: int, D: int) -> bool:
-    # DISABLED: Mosaic requires dynamic row indices to be provably 8-aligned
-    # ("cannot statically prove that index in dimension 0 is a multiple of
-    # 8"), so per-edge dynamic accumulation into the VMEM output is not
-    # lowerable.  The one-hot MXU matmul path in ops/segment.py has the same
-    # FLOPs and stays the production path; this kernel is kept as a record
-    # of the design and for interpret-mode experiments.
-    return False
-
-
-def _kernel(ids_ref, msg_ref, out_ref):
-    t = pl.program_id(0)
-
-    @pl.when(t == 0)
-    def _():
-        out_ref[:] = jnp.zeros_like(out_ref)
-
-    T = msg_ref.shape[0]
-
-    def body(i, _):
-        idx = ids_ref[t * T + i]
-        out_ref[idx, :] += msg_ref[i, :].astype(out_ref.dtype)
-        return 0
-
-    jax.lax.fori_loop(0, T, body, 0)
+__all__ = ["gather_nodes", "segment_sum_sorted_pallas"]
 
 
 def _seg_sum_impl(vals2d, ids, num_segments: int):
@@ -125,10 +69,11 @@ _gather.defvjp(_gather_fwd, _gather_bwd)
 
 
 def segment_sum_sorted_pallas(vals, ids, num_segments: int):
-    """Segment-sum over the leading axis for dst-sorted ids.
+    """Scatter-free segment-sum over the leading axis (one-hot GEMM on TPU).
 
     vals: [E, ...]; returns [num_segments, ...].  Caller must pre-zero
-    masked entries (ops/segment.py wrapper does).
+    masked entries (ops/segment.py wrapper does).  Name kept from the
+    rejected streaming-kernel experiment; dispatch is the matmul pair.
     """
     E = vals.shape[0]
     flat = vals.reshape(E, -1)

@@ -32,23 +32,19 @@ def segment_sum(values, segment_ids, num_segments: int, mask=None,
     """Sum ``values`` ([E, ...]) into ``num_segments`` buckets.
 
     Padded entries (mask False) contribute zero.  method: 'auto' | 'scatter'
-    | 'matmul' (one-hot GEMM) | 'pallas' (sorted streaming-accumulate kernel;
-    requires sorted_ids).  'auto' prefers the pallas kernel for sorted ids on
-    TPU, then the matmul path — both much faster than TPU scatter-add.
+    | 'matmul' (one-hot GEMM).  'auto' prefers the matmul path on sizes where
+    it wins — much faster than the serialized TPU scatter-add (a streaming
+    pallas accumulate kernel was prototyped and rejected: Mosaic cannot prove
+    per-edge dynamic row indices 8-aligned; the one-hot GEMM has the same
+    FLOPs and is the production path, see PERF.md).  ``sorted_ids`` is
+    accepted for API stability (the matmul path doesn't need it).
     """
+    del sorted_ids
     if mask is not None:
         values = values * mask.astype(values.dtype).reshape(
             mask.shape + (1,) * (values.ndim - 1)
         )
     E = values.shape[0]
-    D = int(np.prod(values.shape[1:])) if values.ndim > 1 else 1
-    if method in ("auto", "pallas") and sorted_ids and values.ndim > 1:
-        from .pallas.segsum import seg_sum_available, segment_sum_sorted_pallas
-
-        if jax.default_backend() == "tpu" and seg_sum_available(
-            E, num_segments, D
-        ):
-            return segment_sum_sorted_pallas(values, segment_ids, num_segments)
     use_matmul = method == "matmul" or (
         method == "auto"
         and values.ndim > 1

@@ -73,6 +73,7 @@ def main(argv=None):
             "cutoff": 5.0,
             "run_dir": "runs/matpes_synthetic",
         },
+        "synthetic-convergence": mp_cfg.config_synthetic_convergence,
     }[args.config].copy()
     if args.epochs is not None:
         cfg["epochs"] = args.epochs

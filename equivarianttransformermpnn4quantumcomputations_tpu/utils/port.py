@@ -1,0 +1,111 @@
+"""Weight-port harness: reference (PyTorch) state_dict -> flax params.
+
+Maps the reference's core-layer parameterizations onto this framework's
+modules so a reference checkpoint can be loaded and forward parity asserted
+(the parity-evidence path of test_qm9v3.py-style eval without retraining):
+
+* ``SO3_LinearV2``  (reference so3.py:698-739, weight [L+1, C_out, C_in],
+  bias [C_out])                       -> :class:`nn.so3_layers.SO3Linear`
+  (weight [L+1, C_in, C_out], bias)
+* ``SO2_Convolution`` (reference so2_ops.py:64-204: ``fc_m0`` Linear with
+  extra-m0 channels first, per-m ``SO2_m_Convolution.fc`` Linear whose output
+  stacks [W_r; W_i])                  -> :class:`nn.so3_layers.SO2Conv`
+  (w_m0/b_m0, per-m w_r/w_i)
+* ``RadialFunction`` (reference radial_function.py:5-30,
+  Linear->LayerNorm->SiLU chain)      -> :class:`nn.layers.RadialMLP`
+
+Coefficient-ordering compatibility: both sides use the same m-primary order
+(+m block then -m block, l ascending within each; reference
+CoefficientMappingModule so3.py:45-153 vs ops/irreps.py:108-121), so weights
+port without permutation.
+
+All inputs are ``name -> numpy array`` dicts (call ``.numpy()`` on torch
+tensors first, or pass a torch state_dict — tensors are converted).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = [
+    "port_so3_linear",
+    "port_so2_conv",
+    "port_radial_mlp",
+]
+
+
+def _np(x):
+    if hasattr(x, "detach"):
+        x = x.detach().cpu().numpy()
+    return np.asarray(x)
+
+
+def port_so3_linear(sd: dict, prefix: str = "") -> dict:
+    """Reference SO3_LinearV2 params -> flax SO3Linear params.
+
+    Reference: ``{prefix}weight`` [(L+1), C_out, C_in], ``{prefix}bias``
+    [C_out] (so3.py:710-714).  Ours: weight [(L+1), C_in, C_out] + bias.
+    """
+    w = _np(sd[prefix + "weight"])
+    out = {"weight": np.transpose(w, (0, 2, 1))}
+    if prefix + "bias" in sd:
+        out["bias"] = _np(sd[prefix + "bias"])
+    else:
+        out["bias"] = np.zeros(w.shape[1], w.dtype)
+    return out
+
+
+def port_so2_conv(sd: dict, prefix: str = "", mmax: int | None = None) -> dict:
+    """Reference SO2_Convolution params -> flax SO2Conv params.
+
+    Reference naming (so2_ops.py:64-134):
+      ``fc_m0.weight`` [extra + L0*C_out, L0*C_in], ``fc_m0.bias``;
+      ``so2_m_conv.{m-1}.fc.weight`` [2*Lm*C_out, Lm*C_in] stacking
+      [W_r; W_i] along the output dim (so2_ops.py:47-59);
+      optional ``rad_func.*`` RadialFunction (ported separately with
+      :func:`port_radial_mlp` under the flax submodule "RadialMLP_0").
+    """
+    out = {
+        "w_m0": _np(sd[prefix + "fc_m0.weight"]).T,
+        "b_m0": _np(sd[prefix + "fc_m0.bias"]),
+    }
+    m = 1
+    while True:
+        key = f"{prefix}so2_m_conv.{m - 1}.fc.weight"
+        if key not in sd or (mmax is not None and m > mmax):
+            break
+        w = _np(sd[key])                 # [2*Lm*C_out, Lm*C_in]
+        half = w.shape[0] // 2
+        out[f"w_m{m}_r"] = w[:half].T    # [Lm*C_in, Lm*C_out]
+        out[f"w_m{m}_i"] = w[half:].T
+        m += 1
+    if prefix + "rad_func.net.0.weight" in sd:
+        out["RadialMLP_0"] = port_radial_mlp(sd, prefix + "rad_func.")
+    return out
+
+
+def port_radial_mlp(sd: dict, prefix: str = "") -> dict:
+    """Reference RadialFunction params -> flax RadialMLP params.
+
+    Reference Sequential: net.0 Linear, net.1 LayerNorm, net.2 SiLU,
+    net.3 Linear, ... (radial_function.py:10-27).  Flax: Dense_i +
+    LayerNorm_i pairs.
+    """
+    idxs = sorted(
+        int(k[len(prefix) + 4 :].split(".")[0])
+        for k in sd
+        if k.startswith(prefix + "net.") and k.endswith(".weight")
+    )
+    out = {}
+    i_dense = 0
+    i_ln = 0
+    for j in idxs:   # SiLU entries have no params and are simply absent
+        w = _np(sd[f"{prefix}net.{j}.weight"])
+        b = _np(sd[f"{prefix}net.{j}.bias"])
+        if w.ndim == 2:      # Linear
+            out[f"Dense_{i_dense}"] = {"kernel": w.T, "bias": b}
+            i_dense += 1
+        else:                # LayerNorm (1-D weight)
+            out[f"LayerNorm_{i_ln}"] = {"scale": w, "bias": b}
+            i_ln += 1
+    return out

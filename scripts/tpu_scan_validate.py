@@ -1,0 +1,110 @@
+"""TPU validation: scan_layers=True + fused S2 kernel == unrolled (flagship).
+
+Measures compile time and step time for both paths and checks loss identity
+with re-stacked parameters.  Run on one TPU chip:
+    python scripts/tpu_scan_validate.py > /tmp/scan_validate.log 2>&1
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import flax
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _synthetic_batch
+    from equivarianttransformermpnn4quantumcomputations_tpu.models.matpes import (
+        EquiformerV2MatPES,
+    )
+    from equivarianttransformermpnn4quantumcomputations_tpu.train.schedules import (
+        warmup_cosine,
+    )
+    from equivarianttransformermpnn4quantumcomputations_tpu.train.trainer import (
+        create_train_state,
+        make_matpes_train_step,
+        make_optimizer,
+    )
+
+    print("backend:", jax.default_backend(), jax.devices())
+    kw = dict(
+        num_layers=6, sphere_channels=128, attn_hidden_channels=128,
+        num_heads=8, attn_alpha_channels=32, attn_value_channels=16,
+        ffn_hidden_channels=512, lmax=4, mmax=2, grid_resolution=18,
+        edge_channels=128, num_rbf=600, max_num_elements=100, gata=True,
+        alpha_drop=0.0, drop_path_rate=0.0,
+        compute_dtype="bfloat16", remat=False,
+    )
+    rng = np.random.default_rng(0)
+    raw = _synthetic_batch(rng, 8, 30, 256, 5120, max_neighbors=20)
+    batch = {k: jnp.asarray(v) for k, v in raw.items()}
+    tx = make_optimizer(warmup_cosine(2e-4, 100, 10000), weight_decay=1e-3)
+
+    results = {}
+    params_scan = None
+    for name, scan in (("scan", True), ("unrolled", False)):
+        model = EquiformerV2MatPES(**kw, scan_layers=scan)
+        t0 = time.perf_counter()
+        params = model.init(jax.random.PRNGKey(0), batch)
+        t_init = time.perf_counter() - t0
+        if scan:
+            # host copy: the train step donates the state, deleting the
+            # device buffers this tree points at
+            params_scan = jax.tree_util.tree_map(np.asarray, params)
+        else:
+            # re-stack scan params into the unrolled tree so losses match
+            fs = flax.traverse_util.flatten_dict(params_scan["params"])
+            fu = flax.traverse_util.flatten_dict(params["params"])
+            new = {}
+            for ku in fu:
+                if any(p.startswith("block_") for p in ku):
+                    i = int(next(p for p in ku if p.startswith("block_"))[6:])
+                    ks = ku[:1] + ("blocks", "block") + ku[2:]
+                    new[ku] = fs[ks][i]
+                else:
+                    new[ku] = fs[ku]
+            params = {"params": flax.traverse_util.unflatten_dict(new)}
+        state = create_train_state(params, tx)
+        step = jax.jit(
+            make_matpes_train_step(model, tx, mixed_precision=True),
+            donate_argnums=(0,),
+        )
+        key = jax.random.PRNGKey(1)
+        t0 = time.perf_counter()
+        state, metrics = step(state, batch, key)
+        jax.block_until_ready(metrics["loss"])
+        t_compile = time.perf_counter() - t0
+        losses = [float(metrics["loss"])]
+        t0 = time.perf_counter()
+        for i in range(10):
+            state, metrics = step(state, batch, jax.random.fold_in(key, i))
+        jax.block_until_ready(metrics["loss"])
+        dt = time.perf_counter() - t0
+        losses.append(float(metrics["loss"]))
+        gps = 8 * 10 / dt
+        results[name] = dict(
+            t_init=t_init, t_compile=t_compile, graphs_per_sec=gps,
+            loss0=losses[0], loss10=losses[1],
+        )
+        print(
+            f"{name}: init {t_init:.1f}s compile+step1 {t_compile:.1f}s "
+            f"throughput {gps:.1f} g/s loss0={losses[0]:.6f} "
+            f"loss10={losses[1]:.6f}",
+            flush=True,
+        )
+
+    d0 = abs(results["scan"]["loss0"] - results["unrolled"]["loss0"])
+    d10 = abs(results["scan"]["loss10"] - results["unrolled"]["loss10"])
+    print(f"loss deltas: step1 {d0:.2e} step10 {d10:.2e}")
+    ok = d0 < 1e-3 and d10 < 5e-3
+    print("IDENTITY:", "PASS" if ok else "FAIL")
+
+
+if __name__ == "__main__":
+    main()
