@@ -17,6 +17,11 @@ import numpy as np
 
 REFERENCE_ANCHOR_GRAPHS_PER_SEC = 25.0
 
+# v5e (v5 lite) peak: 197 TFLOP/s bf16, ~98.5 TFLOP/s f32 per chip
+# (public TPU v5e spec) — the MFU denominator
+V5E_PEAK_FLOPS_BF16 = 197e12
+V5E_PEAK_FLOPS_F32 = 98.5e12
+
 # benchmark shape: realistic MatPES training batch on one v5e chip (16 GB HBM;
 # grad-of-grad force training at grid_resolution=18 bounds the batch)
 import os
@@ -32,11 +37,13 @@ BF16 = os.environ.get("ETQ_BENCH_BF16", "1") == "1"
 # rematerialization is unnecessary at the default shape (measured: 24.2 g/s
 # without remat vs 21.3 with); enable it for larger batches.
 REMAT = os.environ.get("ETQ_BENCH_REMAT", "0") == "1"
-# the fused Pallas S2 kernel (on by default in nn/activations.py) is not
-# compatible with flax's lifted scan (custom_vjp residual misbinding), so the
-# default bench unrolls layers; ETQ_S2_FUSED=0 ETQ_BENCH_SCAN=1 for the
-# scan+XLA path.
+# scan_layers works with the fused kernel (round 2 fix, PERF.md) but costs
+# ~25% throughput vs unrolled; the bench unrolls for peak numbers.
+# ETQ_BENCH_SCAN=1 measures the fast-compile scan path.
 SCAN = os.environ.get("ETQ_BENCH_SCAN", "0") == "1"
+# graph-uniform blocking: block-diagonal segment ops, one-hot FLOPs linear in
+# batch size (collate(uniform=True) layout)
+UNIFORM = os.environ.get("ETQ_BENCH_UNIFORM", "1") == "1"
 
 
 def main():
@@ -76,11 +83,13 @@ def main():
         scan_layers=SCAN,
         compute_dtype="bfloat16" if BF16 else "float32",
         remat=REMAT,
+        uniform_blocks=UNIFORM,
     )
 
     rng = np.random.default_rng(0)
     raw = _synthetic_batch(
-        rng, N_GRAPHS, ATOMS_PER_GRAPH, N_PAD, E_PAD, max_neighbors=20
+        rng, N_GRAPHS, ATOMS_PER_GRAPH, N_PAD, E_PAD, max_neighbors=20,
+        uniform=UNIFORM,
     )
     batch = {k: jnp.asarray(v) for k, v in raw.items()}
 
@@ -91,6 +100,18 @@ def main():
         make_matpes_train_step(model, tx, mixed_precision=BF16),
         donate_argnums=(0,),
     )
+
+    # hardware-grounded FLOPs/step from the optimized HLO (XLA cost model) —
+    # the MFU numerator; denominator = v5e peak (see constants above)
+    flops_per_step = None
+    try:
+        lowered = step.lower(state, batch, jax.random.PRNGKey(1))
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops_per_step = float(cost.get("flops", 0.0)) or None
+    except Exception:
+        pass
 
     key = jax.random.PRNGKey(1)
     # compile + warmup
@@ -103,18 +124,20 @@ def main():
     dt = time.perf_counter() - t0
 
     graphs_per_sec = N_GRAPHS * STEPS / dt
-    print(
-        json.dumps(
-            {
-                "metric": "matpes_gata_train_graphs_per_sec_per_chip",
-                "value": round(graphs_per_sec, 2),
-                "unit": "graphs/sec/chip",
-                "vs_baseline": round(
-                    graphs_per_sec / REFERENCE_ANCHOR_GRAPHS_PER_SEC, 3
-                ),
-            }
-        )
-    )
+    out = {
+        "metric": "matpes_gata_train_graphs_per_sec_per_chip",
+        "value": round(graphs_per_sec, 2),
+        "unit": "graphs/sec/chip",
+        "vs_baseline": round(
+            graphs_per_sec / REFERENCE_ANCHOR_GRAPHS_PER_SEC, 3
+        ),
+    }
+    if flops_per_step:
+        peak = V5E_PEAK_FLOPS_BF16 if BF16 else V5E_PEAK_FLOPS_F32
+        achieved = flops_per_step * STEPS / dt
+        out["flops_per_step"] = round(flops_per_step / 1e9, 2)  # GFLOP
+        out["mfu"] = round(achieved / peak, 4)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

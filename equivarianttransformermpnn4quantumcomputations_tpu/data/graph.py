@@ -193,6 +193,7 @@ def collate(
     max_neighbors: int | None,
     n_pad: int,
     e_pad: int,
+    uniform: bool = False,
 ) -> PaddedBatch:
     """Build graphs per sample and pack into one padded batch.
 
@@ -200,16 +201,38 @@ def collate(
     padding edges point at node 0 with mask False.  If the batch overflows the
     static sizes, edges (then atoms) are truncated — callers should size
     n_pad/e_pad from dataset statistics so this never triggers in practice.
+
+    ``uniform=True``: graph-uniform blocking — every graph gets exactly
+    ``n_pad // B`` node slots and ``e_pad // B`` edge slots (graph b owns
+    rows [b*n_max, (b+1)*n_max) / [b*e_max, (b+1)*e_max), padding edges
+    point INSIDE their own block).  This layout lets the segment ops run
+    block-diagonally (``blocks=(B, n_max, e_max)`` in ops/segment.py), which
+    is linear instead of quadratic in batch size.  Costs some padding slack
+    vs the packed layout.
     """
     B = len(samples)
+    if uniform and (n_pad % B or e_pad % B):
+        raise ValueError(
+            f"uniform collate needs n_pad/e_pad divisible by B={B}"
+        )
+    n_max = n_pad // B if uniform else None
+    e_max = e_pad // B if uniform else None
     az = np.zeros(n_pad, np.int32)
     pos = np.zeros((n_pad, 3), np.float32)
     gidx = np.zeros(n_pad, np.int32)
     nslot = np.full(n_pad, 2**30, np.int32)  # OOB sentinel for padding
     nmask = np.zeros(n_pad, bool)
     natoms = np.zeros(B, np.int32)
-    esrc = np.zeros(e_pad, np.int32)
-    edst = np.zeros(e_pad, np.int32)
+    if uniform:
+        # padding nodes/edges belong to their own block
+        gidx = np.repeat(np.arange(B, dtype=np.int32), n_max)
+        esrc = np.repeat(
+            np.arange(B, dtype=np.int32) * n_max, e_max
+        ).astype(np.int32)
+        edst = esrc.copy()
+    else:
+        esrc = np.zeros(e_pad, np.int32)
+        edst = np.zeros(e_pad, np.int32)
     eshift = np.zeros((e_pad, 3), np.int32)
     emask = np.zeros(e_pad, bool)
     cell = np.tile(np.eye(3, dtype=np.float32), (B, 1, 1))
@@ -226,8 +249,16 @@ def collate(
     node_off = 0
     edge_off = 0
     for b, s in enumerate(samples):
+        if uniform:
+            node_off = b * n_max
+            edge_off = b * e_max
+            n_cap = n_max
+            e_cap = e_max
+        else:
+            n_cap = n_pad - node_off
+            e_cap = e_pad - edge_off
         n = s.pos.shape[0]
-        n = min(n, n_pad - node_off)
+        n = min(n, n_cap)
         if n <= 0:
             break
         sl = slice(node_off, node_off + n)
@@ -253,7 +284,7 @@ def collate(
         # in ops/segment.py relies on this.
         order = np.argsort(dst, kind="stable")
         src, dst, shift = src[order], dst[order], shift[order]
-        e = min(src.size, e_pad - edge_off)
+        e = min(src.size, e_cap)
         esl = slice(edge_off, edge_off + e)
         esrc[esl] = src[:e] + node_off
         edst[esl] = dst[:e] + node_off

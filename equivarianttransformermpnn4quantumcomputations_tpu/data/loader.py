@@ -23,8 +23,13 @@ __all__ = ["PaddedLoader", "infer_pad_sizes"]
 def infer_pad_sizes(
     dataset, cutoff: float, max_neighbors: int | None,
     batch_size: int, sample: int = 64, safety: float = 1.25,
+    uniform: bool = False,
 ):
-    """Estimate (n_pad, e_pad) from a sample of the dataset."""
+    """Estimate (n_pad, e_pad) from a sample of the dataset.
+
+    ``uniform=True``: sizes compatible with graph-uniform blocking
+    (n_pad/e_pad divisible by batch_size, per-graph capacity = the sampled
+    max + safety)."""
     from .graph import radius_graph, radius_graph_pbc
 
     rng = np.random.default_rng(0)
@@ -42,6 +47,10 @@ def infer_pad_sizes(
                 s.pos.astype(np.float64), cutoff, max_neighbors
             )
         e_max = max(e_max, src.size)
+    if uniform:
+        n_slot = int(np.ceil(n_max * safety / 4)) * 4
+        e_slot = int(np.ceil(e_max * safety / 32)) * 32
+        return batch_size * n_slot, batch_size * e_slot
     n_pad = int(np.ceil(batch_size * n_max * safety / 8)) * 8
     e_pad = int(np.ceil(batch_size * e_max * safety / 128)) * 128
     return n_pad, e_pad
@@ -70,6 +79,7 @@ class PaddedLoader:
         seed: int = 0,
         drop_last: bool = True,
         prefetch: int = 2,
+        uniform: bool = False,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -84,6 +94,7 @@ class PaddedLoader:
         self.seed = seed
         self.drop_last = drop_last
         self.prefetch = prefetch
+        self.uniform = uniform
         self.epoch = 0
 
     def __len__(self):
@@ -104,7 +115,8 @@ class PaddedLoader:
     def _build(self, batch_idx) -> PaddedBatch:
         samples = [self.dataset[int(i)] for i in batch_idx]
         return collate(
-            samples, self.cutoff, self.max_neighbors, self.n_pad, self.e_pad
+            samples, self.cutoff, self.max_neighbors, self.n_pad, self.e_pad,
+            uniform=self.uniform,
         )
 
     def __iter__(self) -> Iterator[PaddedBatch]:

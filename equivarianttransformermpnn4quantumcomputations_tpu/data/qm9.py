@@ -140,11 +140,23 @@ class QM9Dataset:
 def qm9_random_split(
     n: int, val_split: float = 0.1, test_split: float = 0.1, seed: int = 42
 ):
-    """Index split matching the reference protocol (reference :278-287)."""
+    """Index split BITWISE-matching the reference protocol (reference
+    :278-287): ``torch.utils.data.random_split`` with
+    ``torch.Generator().manual_seed(42)`` is internally
+    ``torch.randperm(n, generator=g)`` sliced sequentially into
+    [train, val, test].  Uses torch's randperm when torch is importable so
+    MAE comparisons share the exact test molecules; falls back to a numpy
+    permutation (same protocol, different RNG stream) otherwise."""
     n_val = int(val_split * n)
     n_test = int(test_split * n)
     n_train = n - n_val - n_test
-    perm = np.random.default_rng(seed).permutation(n)
+    try:
+        import torch
+
+        g = torch.Generator().manual_seed(seed)
+        perm = torch.randperm(n, generator=g).numpy()
+    except ImportError:  # torch-free environment
+        perm = np.random.default_rng(seed).permutation(n)
     return (
         perm[:n_train],
         perm[n_train : n_train + n_val],

@@ -103,6 +103,11 @@ class EquiformerV2Backbone(nn.Module):
     scan_layers: bool = False
     # compute dtype for the block stack ("float32" | "bfloat16")
     compute_dtype: str = "float32"
+    # graph-uniform blocking (collate(uniform=True) layout): every graph owns
+    # n_pad/B node rows and e_pad/B edge rows, so segment ops/gather
+    # transposes are block-diagonal — one-hot FLOPs LINEAR in batch size
+    # instead of quadratic (the PERF.md batch-16 regression)
+    uniform_blocks: bool = False
 
     @nn.compact
     def __call__(
@@ -124,6 +129,15 @@ class EquiformerV2Backbone(nn.Module):
         N = atomic_numbers.shape[0]
         num_graphs = cell.shape[0]
         cdt = jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
+        blocks = None
+        if self.uniform_blocks:
+            E = edge_src.shape[0]
+            if N % num_graphs or E % num_graphs:
+                raise ValueError(
+                    "uniform_blocks requires n_pad/e_pad divisible by the "
+                    "number of graphs (use collate(uniform=True))"
+                )
+            blocks = (num_graphs, N // num_graphs, E // num_graphs)
 
         # ── displacements (grad-carrying) ─────────────────────────────────
         shift_cart = jnp.einsum(
@@ -132,8 +146,8 @@ class EquiformerV2Backbone(nn.Module):
             cell[graph_idx[edge_dst]],
         )
         dvec = (
-            gather_nodes(pos, edge_dst) + shift_cart
-            - gather_nodes(pos, edge_src)
+            gather_nodes(pos, edge_dst, blocks=blocks) + shift_cart
+            - gather_nodes(pos, edge_src, blocks=blocks)
         )  # [E, 3]
         dist = jnp.sqrt(jnp.maximum(jnp.sum(dvec * dvec, -1), 1e-12))
 
@@ -181,6 +195,7 @@ class EquiformerV2Backbone(nn.Module):
             edge_channels_list=tuple(edge_channels_list),
             use_atom_edge_embedding=block_atom_edge,
             rescale_factor=self.avg_degree,
+            blocks=blocks,
             name="edge_degree_embedding",
         )(
             atomic_numbers, edge_scalars, edge_src, edge_dst, edge_mask,
@@ -202,7 +217,8 @@ class EquiformerV2Backbone(nn.Module):
             # t_ij init (reference :243-281)
             h = x[:, 0, :]
             h_sum = Dense(self.edge_channels, name="h_proj")(
-                gather_nodes(h, edge_src) + gather_nodes(h, edge_dst)
+                gather_nodes(h, edge_src, blocks=blocks)
+                + gather_nodes(h, edge_dst, blocks=blocks)
             )
             t_ij = h_sum * Dense(self.edge_channels, name="W_erp")(phi_r)
             if self.dual_stream:
@@ -248,6 +264,7 @@ class EquiformerV2Backbone(nn.Module):
                 ffn_variant=self.ffn_variant,
                 num_experts=self.num_experts,
                 dual_stream=self.dual_stream,
+                blocks=blocks,
                 num_graphs=num_graphs,
                 deterministic=deterministic,
         )

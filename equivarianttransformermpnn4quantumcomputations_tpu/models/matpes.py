@@ -80,6 +80,7 @@ class EquiformerV2MatPES(nn.Module):
     dual_stream: bool = False
     remat: bool = True
     scan_layers: bool = False
+    uniform_blocks: bool = False
     compute_dtype: str = "float32"
 
     @nn.compact
@@ -123,6 +124,7 @@ class EquiformerV2MatPES(nn.Module):
             dual_stream=self.dual_stream,
             remat=self.remat,
             scan_layers=self.scan_layers,
+            uniform_blocks=self.uniform_blocks,
             compute_dtype=self.compute_dtype,
             name="backbone",
         )(

@@ -59,6 +59,7 @@ class EquiformerV2OC20(nn.Module):
     avg_degree: float = _AVG_DEGREE_OC20
     remat: bool = False
     scan_layers: bool = False
+    uniform_blocks: bool = False
     compute_dtype: str = "float32"
 
     @nn.compact
@@ -92,6 +93,7 @@ class EquiformerV2OC20(nn.Module):
             avg_degree=self.avg_degree,
             remat=self.remat,
             scan_layers=self.scan_layers,
+            uniform_blocks=self.uniform_blocks,
             compute_dtype=self.compute_dtype,
             name="backbone",
         )(

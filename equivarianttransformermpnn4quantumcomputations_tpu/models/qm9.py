@@ -48,6 +48,7 @@ class EquiformerV2QM9(nn.Module):
     avg_degree: float = 6.0   # reference _AVG_DEGREE_QM9
     remat: bool = False
     scan_layers: bool = False
+    uniform_blocks: bool = False
     # one vmapped head stack (stacked params, batched einsums) instead of
     # num_targets sequential FFN heads — same math, ~num_targets x fewer
     # kernel launches
@@ -86,6 +87,7 @@ class EquiformerV2QM9(nn.Module):
             avg_degree=self.avg_degree,
             remat=self.remat,
             scan_layers=self.scan_layers,
+            uniform_blocks=self.uniform_blocks,
             compute_dtype=self.compute_dtype,
             name="backbone",
         )(

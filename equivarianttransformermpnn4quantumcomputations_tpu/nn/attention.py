@@ -75,6 +75,8 @@ class GraphAttention(nn.Module):
     # phi-every-layer variant: thread raw distance RBF into the value act
     use_phi_every_layer: bool = False
     num_rbf: int = 0
+    # (B, n_max, e_max) graph-uniform layout: block-diagonal segment ops
+    blocks: tuple | None = None
 
     @nn.compact
     def __call__(
@@ -109,8 +111,8 @@ class GraphAttention(nn.Module):
             x_edge = edge_scalars
 
         # ── gather node features to edges ─────────────────────────────────
-        x_src = gather_nodes(x, edge_src)
-        x_dst = gather_nodes(x, edge_dst)
+        x_src = gather_nodes(x, edge_src, blocks=self.blocks)
+        x_dst = gather_nodes(x, edge_dst, blocks=self.blocks)
         if self.gata or self.gata_v1:
             # unrotated-frame neighbour features (reference Gotennet fork
             # transformer_block.py:255-267 gathers the *target* embedding)
@@ -172,10 +174,11 @@ class GraphAttention(nn.Module):
                 (self.num_heads, self.attn_alpha_channels),
             )
             logits = jnp.einsum("ehk,hk->eh", a, dot)
-            # scatter path: measured on par with the sorted-scan path at
-            # H=8 logits (sorted_ids=True available for wider heads)
+            # blocks: fully scatter-free block-dense softmax; otherwise the
+            # scatter path (measured on par with the sorted-scan path at H=8)
             return segment_softmax(
-                logits, edge_dst, num_segments=num_nodes, mask=edge_mask
+                logits, edge_dst, num_segments=num_nodes, mask=edge_mask,
+                blocks=self.blocks,
             )
 
         # ── value activation ──────────────────────────────────────────────
@@ -259,7 +262,7 @@ class GraphAttention(nn.Module):
         msg = rotate_from_edge(wigner, msg, self.layout_red)
         agg = segment_sum(
             msg, edge_dst, num_segments=num_nodes, mask=edge_mask,
-            sorted_ids=True,
+            sorted_ids=True, blocks=self.blocks,
         )
 
         # ── output projection ─────────────────────────────────────────────

@@ -99,6 +99,8 @@ class TransBlock(nn.Module):
     num_experts: int = 4
     # dual-stream: thread a second (angular) edge stream through the block
     dual_stream: bool = False
+    # (B, n_max, e_max) graph-uniform layout for block-diagonal segment ops
+    blocks: tuple | None = None
     # static per-construction context (attributes, not call args, so that the
     # whole block can be wrapped in nn.remat with pure-pytree call args)
     num_graphs: int = 1
@@ -127,8 +129,8 @@ class TransBlock(nn.Module):
         if self.gata:
             # HTR refines the edge stream from the *current* features
             # (reference Gotennet fork transformer_block.py:595-613)
-            X_i = gather_nodes(x, edge_src)[:, 1:, :]
-            X_j = gather_nodes(x, edge_dst)[:, 1:, :]
+            X_i = gather_nodes(x, edge_src, blocks=self.blocks)[:, 1:, :]
+            X_j = gather_nodes(x, edge_dst, blocks=self.blocks)[:, 1:, :]
             t_ij = HTR(
                 sphere_channels=self.sphere_channels,
                 edge_channels=self.edge_channels,
@@ -143,7 +145,8 @@ class TransBlock(nn.Module):
                     edge_channels=self.edge_channels,
                     lmax=lmax,
                     name="angular_htr",
-                )(a_ij, t_ij, x, edge_src, edge_dst, edge_mask)
+                )(a_ij, t_ij, x, edge_src, edge_dst, edge_mask,
+                  blocks=self.blocks)
 
         drop_path = GraphDropPath(self.drop_path_rate)
         proj_drop = EquivariantDropout(self.proj_drop)
@@ -172,6 +175,7 @@ class TransBlock(nn.Module):
             alpha_drop=self.alpha_drop,
             gata=self.gata,
             gata_v1=self.gata_v1,
+            blocks=self.blocks,
             edge_channels=self.edge_channels,
             normalize_attn_output=self.normalize_attn_output,
             use_phi_every_layer=self.use_phi_every_layer,
@@ -209,7 +213,7 @@ class TransBlock(nn.Module):
                 num_experts=self.num_experts,
                 breaking_equivariance=(self.ffn_variant == "moe_breaking"),
                 name="ffn",
-            )(h, t_ij, edge_dst, edge_mask)
+            )(h, t_ij, edge_dst, edge_mask, blocks=self.blocks)
             self.sow("intermediates", "routing_entropy", entropy)
         elif self.ffn_variant == "esen":
             from .ffn import ESENFeedForward
@@ -230,7 +234,8 @@ class TransBlock(nn.Module):
                 edge_channels=self.edge_channels,
                 lmax=lmax,
                 name="ffn",
-            )(h, t_ij, a_ij if a_ij is not None else t_ij, edge_dst, edge_mask)
+            )(h, t_ij, a_ij if a_ij is not None else t_ij, edge_dst,
+              edge_mask, blocks=self.blocks)
         else:
             h = FeedForward(
                 sphere_channels=self.sphere_channels,

@@ -35,7 +35,8 @@ class AngularHTR(nn.Module):
     lmax: int
 
     @nn.compact
-    def __call__(self, a_ij, t_ij, x, edge_src, edge_dst, edge_mask):
+    def __call__(self, a_ij, t_ij, x, edge_src, edge_dst, edge_mask,
+                 blocks=None):
         """a_ij/t_ij: [E, edge_C]; x: [N, K, C] (full embedding)."""
         N = x.shape[0]
         E = a_ij.shape[0]
@@ -50,7 +51,7 @@ class AngularHTR(nn.Module):
         ones = jnp.ones(E, dtype=a_ij.dtype)
         deg = jnp.maximum(
             segment_sum(ones, edge_src, num_segments=N, mask=edge_mask), 1.0
-        )
+        )  # 1-D: blocks n/a
 
         w_ang = jnp.zeros((E, self.edge_channels), dtype=a_ij.dtype)
         offset = 0
@@ -58,7 +59,7 @@ class AngularHTR(nn.Module):
             d = 2 * l + 1
             Xl = X_all[:, offset : offset + d, :]
             offset += d
-            Xl_dst = gather_nodes(Xl, edge_dst)
+            Xl_dst = gather_nodes(Xl, edge_dst, blocks=blocks)
             Xj_q = Dense(self.edge_channels, use_bias=False, name=f"W_q_{l}")(
                 Xl_dst
             )
@@ -66,9 +67,11 @@ class AngularHTR(nn.Module):
                 Xl_dst
             )
             agg_k = segment_sum(
-                Xj_k, edge_src, num_segments=N, mask=edge_mask
+                Xj_k, edge_src, num_segments=N, mask=edge_mask, blocks=blocks
             ) / deg[:, None, None]
-            ip = jnp.sum(Xj_q * gather_nodes(agg_k, edge_src), axis=1)
+            ip = jnp.sum(
+                Xj_q * gather_nodes(agg_k, edge_src, blocks=blocks), axis=1
+            )
             w_ang = w_ang + ip / d
 
         w_ang = w_ang * Dense(
@@ -91,10 +94,14 @@ class TensorProductFFN(nn.Module):
     lmax: int
 
     @nn.compact
-    def __call__(self, x, t_ij, a_ij, edge_dst, edge_mask):
+    def __call__(self, x, t_ij, a_ij, edge_dst, edge_mask, blocks=None):
         N = x.shape[0]
-        c_i = segment_mean(t_ij, edge_dst, num_segments=N, mask=edge_mask)
-        c_a = segment_mean(a_ij, edge_dst, num_segments=N, mask=edge_mask)
+        c_i = segment_mean(
+            t_ij, edge_dst, num_segments=N, mask=edge_mask, blocks=blocks
+        )
+        c_a = segment_mean(
+            a_ij, edge_dst, num_segments=N, mask=edge_mask, blocks=blocks
+        )
         c_i = jnp.nan_to_num(c_i, nan=0.0, posinf=1.0, neginf=-1.0)
         c_a = jnp.nan_to_num(c_a, nan=0.0, posinf=1.0, neginf=-1.0)
 

@@ -30,6 +30,7 @@ class EdgeDegreeEmbedding(nn.Module):
     edge_channels_list: Sequence[int]
     use_atom_edge_embedding: bool
     rescale_factor: float
+    blocks: tuple | None = None   # (B, n_max, e_max) graph-uniform layout
 
     @nn.compact
     def __call__(
@@ -74,6 +75,6 @@ class EdgeDegreeEmbedding(nn.Module):
         x_edge_emb = rotate_from_edge(wigner, x_edge_emb, lay)
         out = segment_sum(
             x_edge_emb, edge_dst, num_segments=num_nodes, mask=edge_mask,
-            sorted_ids=True,
+            sorted_ids=True, blocks=self.blocks,
         )
         return out / self.rescale_factor

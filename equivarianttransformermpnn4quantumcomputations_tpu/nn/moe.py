@@ -84,10 +84,12 @@ class MoEHTRFeedForward(nn.Module):
     breaking_equivariance: bool = False  # mixed equiv/non-equiv expert pool
 
     @nn.compact
-    def __call__(self, x, t_ij, edge_dst, edge_mask):
+    def __call__(self, x, t_ij, edge_dst, edge_mask, blocks=None):
         """x: [N, K, C]; t_ij: [E, edge_C] -> ([N, K, C], routing_entropy)."""
         N = x.shape[0]
-        c_i = segment_mean(t_ij, edge_dst, num_segments=N, mask=edge_mask)
+        c_i = segment_mean(
+            t_ij, edge_dst, num_segments=N, mask=edge_mask, blocks=blocks
+        )
         c_i = jnp.nan_to_num(c_i, nan=0.0, posinf=1.0, neginf=-1.0)
 
         r = jax.nn.silu(Dense(self.edge_channels, name="router_1")(c_i))

@@ -27,8 +27,25 @@ import jax.numpy as jnp
 __all__ = ["gather_nodes", "segment_sum_sorted_pallas"]
 
 
-def _seg_sum_impl(vals2d, ids, num_segments: int):
+def _seg_sum_impl(vals2d, ids, num_segments: int, blocks):
     E, D = vals2d.shape
+    if blocks is not None:
+        # graph-uniform blocking (collate(uniform=True)): graph b owns nodes
+        # [b*n_max, (b+1)*n_max) and edges [b*e_max, (b+1)*e_max), so the
+        # one-hot contraction is B independent [e_max, n_max] blocks —
+        # O(B e_max n_max D) instead of O(E N D): LINEAR in batch size
+        # (the flat one-hot was quadratic, the batch-16 regression of
+        # PERF.md).  Out-of-block ids produce all-zero one-hot rows.
+        B, n_max, e_max = blocks
+        v = vals2d.reshape(B, e_max, D)
+        lid = ids.reshape(B, e_max) - (
+            jnp.arange(B, dtype=ids.dtype) * n_max
+        )[:, None]
+        onehot = (
+            lid[:, :, None] == jnp.arange(n_max, dtype=ids.dtype)[None, None, :]
+        ).astype(vals2d.dtype)
+        out = jnp.einsum("ben,bed->bnd", onehot, v)
+        return out.reshape(B * n_max, D)
     if jax.default_backend() == "tpu":
         # one-hot MXU matmul: TPU scatter-add is serialized (~1.5x slower)
         onehot = (
@@ -38,50 +55,51 @@ def _seg_sum_impl(vals2d, ids, num_segments: int):
     return jax.ops.segment_sum(vals2d, ids, num_segments=num_segments)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def _seg_sum(vals2d, ids, num_segments):
-    return _seg_sum_impl(vals2d, ids, num_segments)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _seg_sum(vals2d, ids, num_segments, blocks):
+    return _seg_sum_impl(vals2d, ids, num_segments, blocks)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def _gather(src2d, ids, num_segments):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _gather(src2d, ids, num_segments, blocks):
     return src2d[ids]
 
 
-def _seg_sum_fwd(vals2d, ids, num_segments):
-    return _seg_sum(vals2d, ids, num_segments), ids
+def _seg_sum_fwd(vals2d, ids, num_segments, blocks):
+    return _seg_sum(vals2d, ids, num_segments, blocks), ids
 
 
-def _seg_sum_bwd(num_segments, ids, dout):
-    return _gather(dout, ids, num_segments), None
+def _seg_sum_bwd(num_segments, blocks, ids, dout):
+    return _gather(dout, ids, num_segments, blocks), None
 
 
-def _gather_fwd(src2d, ids, num_segments):
-    return _gather(src2d, ids, num_segments), ids
+def _gather_fwd(src2d, ids, num_segments, blocks):
+    return _gather(src2d, ids, num_segments, blocks), ids
 
 
-def _gather_bwd(num_segments, ids, dvals):
-    return _seg_sum(dvals, ids, num_segments), None
+def _gather_bwd(num_segments, blocks, ids, dvals):
+    return _seg_sum(dvals, ids, num_segments, blocks), None
 
 
 _seg_sum.defvjp(_seg_sum_fwd, _seg_sum_bwd)
 _gather.defvjp(_gather_fwd, _gather_bwd)
 
 
-def segment_sum_sorted_pallas(vals, ids, num_segments: int):
+def segment_sum_sorted_pallas(vals, ids, num_segments: int, blocks=None):
     """Scatter-free segment-sum over the leading axis (one-hot GEMM on TPU).
 
     vals: [E, ...]; returns [num_segments, ...].  Caller must pre-zero
-    masked entries (ops/segment.py wrapper does).  Name kept from the
-    rejected streaming-kernel experiment; dispatch is the matmul pair.
+    masked entries (ops/segment.py wrapper does).  ``blocks=(B, n_max,
+    e_max)`` enables the graph-uniform block-diagonal path.  Name kept from
+    the rejected streaming-kernel experiment; dispatch is the matmul pair.
     """
     E = vals.shape[0]
     flat = vals.reshape(E, -1)
-    out = _seg_sum(flat, ids, num_segments)
+    out = _seg_sum(flat, ids, num_segments, blocks)
     return out.reshape((num_segments,) + vals.shape[1:])
 
 
-def gather_nodes(x, ids):
+def gather_nodes(x, ids, blocks=None):
     """Node->edge gather whose EVERY-order transpose is the matmul
     segment-sum instead of an XLA scatter-add.
 
@@ -89,10 +107,12 @@ def gather_nodes(x, ids):
     slowest primitive on TPU — and it appears 6-10x per layer per AD
     traversal in this architecture.  The `_gather`/`_seg_sum` custom_vjp pair
     alternates gather <-> one-hot-matmul to any derivative order.
+    ``blocks=(B, n_max, e_max)`` makes every transpose block-diagonal
+    (linear in batch size; requires collate(uniform=True) layout).
 
     x: [N, ...]; ids: [E] -> [E, ...].
     """
     N = x.shape[0]
     flat = x.reshape(N, -1)
-    out = _gather(flat, ids, N)
+    out = _gather(flat, ids, N, blocks)
     return out.reshape((ids.shape[0],) + x.shape[1:])

@@ -28,7 +28,8 @@ _MATMUL_SEGMENT_MAX_ELEMS = int(
 
 
 def segment_sum(values, segment_ids, num_segments: int, mask=None,
-                method: str = "auto", sorted_ids: bool = False):
+                method: str = "auto", sorted_ids: bool = False,
+                blocks=None):
     """Sum ``values`` ([E, ...]) into ``num_segments`` buckets.
 
     Padded entries (mask False) contribute zero.  method: 'auto' | 'scatter'
@@ -38,6 +39,10 @@ def segment_sum(values, segment_ids, num_segments: int, mask=None,
     per-edge dynamic row indices 8-aligned; the one-hot GEMM has the same
     FLOPs and is the production path, see PERF.md).  ``sorted_ids`` is
     accepted for API stability (the matmul path doesn't need it).
+
+    ``blocks=(B, n_max, e_max)``: graph-uniform block-diagonal one-hot
+    (requires data/graph.py collate(uniform=True) layout) — O(B e_max n_max)
+    instead of O(E N), linear in batch size.
     """
     del sorted_ids
     if mask is not None:
@@ -45,6 +50,19 @@ def segment_sum(values, segment_ids, num_segments: int, mask=None,
             mask.shape + (1,) * (values.ndim - 1)
         )
     E = values.shape[0]
+    if blocks is not None and values.ndim > 1:
+        B, n_max, e_max = blocks
+        if E == B * e_max and num_segments == B * n_max:
+            flat = values.reshape(B, e_max, -1)
+            lid = segment_ids.reshape(B, e_max) - (
+                jnp.arange(B, dtype=segment_ids.dtype) * n_max
+            )[:, None]
+            onehot = (
+                lid[:, :, None]
+                == jnp.arange(n_max, dtype=segment_ids.dtype)[None, None, :]
+            ).astype(values.dtype)
+            out = jnp.einsum("ben,bed->bnd", onehot, flat)
+            return out.reshape((num_segments,) + values.shape[1:])
     use_matmul = method == "matmul" or (
         method == "auto"
         and values.ndim > 1
@@ -63,8 +81,9 @@ def segment_sum(values, segment_ids, num_segments: int, mask=None,
     )
 
 
-def segment_mean(values, segment_ids, num_segments: int, mask=None):
-    s = segment_sum(values, segment_ids, num_segments, mask)
+def segment_mean(values, segment_ids, num_segments: int, mask=None,
+                 blocks=None):
+    s = segment_sum(values, segment_ids, num_segments, mask, blocks=blocks)
     ones = jnp.ones(values.shape[0], dtype=values.dtype)
     cnt = segment_sum(ones, segment_ids, num_segments, mask)
     cnt = cnt.reshape(cnt.shape + (1,) * (values.ndim - 1))
@@ -138,8 +157,44 @@ def segment_softmax_sorted(logits, segment_ids, mask=None):
     return (ex / jnp.maximum(denom, 1e-16)).astype(in_dtype)
 
 
+def _segment_softmax_blocked(logits, segment_ids, blocks, mask):
+    """Scatter-free segment softmax on the graph-uniform layout.
+
+    Per block: max over edges via a masked where-reduction on the one-hot
+    [e_max, n_max] incidence (a few MB at production shapes), sums via block
+    matmuls — no TPU scatter anywhere, any AD order.
+    """
+    B, n_max, e_max = blocks
+    in_dtype = logits.dtype
+    E = logits.shape[0]
+    lg = logits.astype(jnp.float32).reshape((B, e_max, -1))  # [B, e, H]
+    neg = jnp.asarray(-1e30, jnp.float32)
+    if mask is not None:
+        lg = jnp.where(mask.reshape(B, e_max, 1), lg, neg)
+    lid = segment_ids.reshape(B, e_max) - (
+        jnp.arange(B, dtype=segment_ids.dtype) * n_max
+    )[:, None]
+    onehot = (
+        lid[:, :, None] == jnp.arange(n_max, dtype=segment_ids.dtype)[None, None, :]
+    )                                                        # [B, e, n] bool
+    # segment max: [B, e, n, H] masked where -> max over e
+    seg_max = jnp.max(
+        jnp.where(onehot[..., None], lg[:, :, None, :], neg), axis=1
+    )                                                        # [B, n, H]
+    seg_max = jax.lax.stop_gradient(jnp.maximum(seg_max, neg))
+    oh = onehot.astype(jnp.float32)
+    per_edge_max = jnp.einsum("ben,bnh->beh", oh, seg_max)
+    ex = jnp.exp(lg - per_edge_max)
+    if mask is not None:
+        ex = ex * mask.reshape(B, e_max, 1).astype(ex.dtype)
+    denom = jnp.einsum("ben,beh->bnh", oh, ex)
+    per_edge_denom = jnp.einsum("ben,bnh->beh", oh, denom)
+    out = ex / jnp.maximum(per_edge_denom, 1e-16)
+    return out.reshape((E,) + logits.shape[1:]).astype(in_dtype)
+
+
 def segment_softmax(logits, segment_ids, num_segments: int, mask=None,
-                    sorted_ids: bool = False):
+                    sorted_ids: bool = False, blocks=None):
     """Numerically-stable softmax over segments of the leading axis.
 
     Args:
@@ -147,9 +202,15 @@ def segment_softmax(logits, segment_ids, num_segments: int, mask=None,
         segment_ids: [E] target-node index per edge.
         mask: [E] bool, False for padded edges (their weight becomes 0).
         sorted_ids: if True, use the scatter-free sorted-scan path.
+        blocks: (B, n_max, e_max) graph-uniform layout -> fully scatter-free
+            block-dense path.
     Returns:
         [E, ...] normalized weights summing to 1 within each real segment.
     """
+    if blocks is not None and logits.ndim > 1:
+        B, n_max, e_max = blocks
+        if logits.shape[0] == B * e_max and num_segments == B * n_max:
+            return _segment_softmax_blocked(logits, segment_ids, blocks, mask)
     if sorted_ids:
         return segment_softmax_sorted(logits, segment_ids, mask)
     in_dtype = logits.dtype

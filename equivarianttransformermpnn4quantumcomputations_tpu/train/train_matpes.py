@@ -105,12 +105,14 @@ def main(argv=None):
             cfg.get("max_val"),
             cfg.get("max_test"),
         )
+    uniform = cfg.get("uniform_blocks", True)
     n_pad, e_pad = infer_pad_sizes(
-        train_ds, cfg["cutoff"], cfg["max_neighbors"], cfg["batch_size"]
+        train_ds, cfg["cutoff"], cfg["max_neighbors"], cfg["batch_size"],
+        uniform=uniform,
     )
     mk = lambda ds, shuf: PaddedLoader(
         ds, cfg["batch_size"], cfg["cutoff"], cfg["max_neighbors"],
-        n_pad, e_pad, shuffle=shuf, seed=cfg["seed"],
+        n_pad, e_pad, shuffle=shuf, seed=cfg["seed"], uniform=uniform,
     )
     train_loader, val_loader = mk(train_ds, True), mk(val_ds, False)
 
@@ -136,6 +138,10 @@ def main(argv=None):
         normalize_attn_output=cfg.get("normalize_attn_output", True),
         use_phi_every_layer=cfg.get("use_phi_every_layer", False),
         compute_dtype="bfloat16" if args.mixed_precision else "float32",
+        uniform_blocks=uniform,
+        # fast-compile layer scan (PERF.md round-2 fix); unrolled peaks ~25%
+        # higher throughput but costs 30+ min compile
+        scan_layers=cfg.get("scan_layers", True),
     )
 
     steps_per_epoch = max(len(train_loader), 1)

@@ -1,5 +1,5 @@
 """Performance breakdown on the real chip: times forward / forces / full step
-at the bench shape, for f32 and bf16.  Writes PERF.md at the repo root.
+at the bench shape, for f32 and bf16.  Writes PERF_BREAKDOWN.md.
 
 Run:  python scripts/perf_breakdown.py
 """
@@ -99,7 +99,7 @@ def main():
         }
         print(dtype, results[dtype], flush=True)
 
-    with open("PERF.md", "w") as f:
+    with open("PERF_BREAKDOWN.md", "w") as f:
         f.write("# PERF — MatPES GATA flagship, 8 graphs x 30 atoms, v5e-1\n\n")
         f.write("| dtype | forward | energy+forces | train step | graphs/s |\n")
         f.write("|---|---|---|---|---|\n")

@@ -101,8 +101,13 @@ def main():
 
     d0 = abs(results["scan"]["loss0"] - results["unrolled"]["loss0"])
     d10 = abs(results["scan"]["loss10"] - results["unrolled"]["loss10"])
-    print(f"loss deltas: step1 {d0:.2e} step10 {d10:.2e}")
-    ok = d0 < 1e-3 and d10 < 5e-3
+    r0 = d0 / abs(results["unrolled"]["loss0"])
+    r10 = d10 / abs(results["unrolled"]["loss10"])
+    print(f"loss deltas: step1 {d0:.2e} ({r0:.2e} rel) step10 {d10:.2e} ({r10:.2e} rel)")
+    # bf16 mixed precision: scan and unrolled fuse/order ops differently, so
+    # agreement is to bf16 noise (~1e-3 relative); exact identity in f32 is
+    # covered by tests/test_pallas_s2act.py on CPU
+    ok = r0 < 5e-3 and r10 < 5e-3
     print("IDENTITY:", "PASS" if ok else "FAIL")
 
 

@@ -293,3 +293,24 @@ def test_port_radial_mlp_torch_parity():
     params = {"params": port_radial_mlp(sd)}
     ours = np.asarray(mod.apply(params, jnp.asarray(x)))
     assert np.abs(ours - golden).max() < 1e-5
+
+
+def test_qm9_split_bitwise_matches_torch_random_split():
+    """The QM9 split must share the reference's EXACT test molecules
+    (reference data_loader_qm9_v4.py:278-287: torch.random_split seed 42) —
+    required for MAE parity comparisons (VERDICT r1 weak #7)."""
+    import torch
+
+    from equivarianttransformermpnn4quantumcomputations_tpu.data.qm9 import (
+        qm9_random_split,
+    )
+
+    n = 130831  # QM9 molecule count (BASELINE.md)
+    tr, va, te = qm9_random_split(n)
+    a, b, c = torch.utils.data.random_split(
+        list(range(n)), [len(tr), len(va), len(te)],
+        generator=torch.Generator().manual_seed(42),
+    )
+    assert np.array_equal(tr, np.asarray(a.indices))
+    assert np.array_equal(va, np.asarray(b.indices))
+    assert np.array_equal(te, np.asarray(c.indices))
