@@ -7,8 +7,9 @@ Re-design of reference models/data_loader_qm9_v4.py:
   (datasets/QM9/DatasetStastics/run_stats_corrected/qm9_full_stats.json,
   reference :47-98), std==0 guarded to 1;
 * target-subset selection (reference :216-222);
-* 80/10/10 random split with seed 42 (reference :283-287; we use a numpy
-  permutation — same protocol, not bitwise torch-identical);
+* 80/10/10 random split with seed 42 (reference :283-287; bitwise
+  torch-identical via ``torch.randperm`` when torch is importable, see
+  ``qm9_random_split``);
 * ``denormalize_targets`` (reference :323-340).
 
 ASE is an optional dependency: import is gated so the rest of the framework
