@@ -38,7 +38,7 @@ from ..nn.embedding import EdgeDegreeEmbedding
 from ..nn.layers import Dense, GaussianSmearing
 from ..nn.norms import get_normalization_layer
 
-__all__ = ["EquiformerV2Backbone", "BackboneOutput"]
+__all__ = ["EquiformerV2Backbone", "BackboneOutput", "build_block_kwargs"]
 
 
 class BackboneOutput:
@@ -51,6 +51,59 @@ class BackboneOutput:
         self.wigner = wigner
         self.edge_src = edge_src
         self.edge_dst = edge_dst
+
+
+def build_block_kwargs(
+    cfg,
+    *,
+    edge_channels_list,
+    block_atom_edge,
+    blocks,
+    num_graphs,
+    deterministic,
+):
+    """TransBlock kwargs from a backbone config (single source of truth —
+    used by the forward below and by parallel/pipeline.py, which executes
+    the same scanned block stack under an explicit pipeline schedule)."""
+    lay_full = get_layout(cfg.lmax, cfg.lmax)
+    lay_red = get_layout(cfg.lmax, cfg.mmax)
+    return dict(
+        layout_full=lay_full,
+        layout_red=lay_red,
+        grid_red=s2grid(cfg.lmax, cfg.mmax, cfg.grid_resolution),
+        grid_full=s2grid(cfg.lmax, cfg.lmax, cfg.grid_resolution),
+        sphere_channels=cfg.sphere_channels,
+        attn_hidden_channels=cfg.attn_hidden_channels,
+        num_heads=cfg.num_heads,
+        attn_alpha_channels=cfg.attn_alpha_channels,
+        attn_value_channels=cfg.attn_value_channels,
+        ffn_hidden_channels=cfg.ffn_hidden_channels,
+        output_channels=cfg.sphere_channels,
+        max_num_elements=cfg.max_num_elements,
+        edge_channels_list=tuple(edge_channels_list),
+        use_atom_edge_embedding=block_atom_edge,
+        use_m_share_rad=cfg.use_m_share_rad,
+        use_attn_renorm=cfg.use_attn_renorm,
+        use_gate_act=cfg.use_gate_act,
+        use_grid_mlp=cfg.use_grid_mlp,
+        use_sep_s2_act=cfg.use_sep_s2_act,
+        norm_type=cfg.norm_type,
+        alpha_drop=cfg.alpha_drop,
+        drop_path_rate=cfg.drop_path_rate,
+        proj_drop=cfg.proj_drop,
+        gata=cfg.gata,
+        gata_v1=cfg.gata_v1,
+        edge_channels=cfg.edge_channels,
+        normalize_attn_output=cfg.normalize_attn_output,
+        use_phi_every_layer=cfg.use_phi_every_layer,
+        num_rbf=cfg.num_rbf,
+        ffn_variant=cfg.ffn_variant,
+        num_experts=cfg.num_experts,
+        dual_stream=cfg.dual_stream,
+        blocks=blocks,
+        num_graphs=num_graphs,
+        deterministic=deterministic,
+    )
 
 
 class EquiformerV2Backbone(nn.Module):
@@ -231,42 +284,13 @@ class EquiformerV2Backbone(nn.Module):
 
         # ── transformer blocks ────────────────────────────────────────────
         x = x.astype(cdt)
-        block_kwargs = dict(
-                layout_full=lay_full,
-                layout_red=lay_red,
-                grid_red=grid_red,
-                grid_full=grid_full,
-                sphere_channels=self.sphere_channels,
-                attn_hidden_channels=self.attn_hidden_channels,
-                num_heads=self.num_heads,
-                attn_alpha_channels=self.attn_alpha_channels,
-                attn_value_channels=self.attn_value_channels,
-                ffn_hidden_channels=self.ffn_hidden_channels,
-                output_channels=self.sphere_channels,
-                max_num_elements=self.max_num_elements,
-                edge_channels_list=tuple(edge_channels_list),
-                use_atom_edge_embedding=block_atom_edge,
-                use_m_share_rad=self.use_m_share_rad,
-                use_attn_renorm=self.use_attn_renorm,
-                use_gate_act=self.use_gate_act,
-                use_grid_mlp=self.use_grid_mlp,
-                use_sep_s2_act=self.use_sep_s2_act,
-                norm_type=self.norm_type,
-                alpha_drop=self.alpha_drop,
-                drop_path_rate=self.drop_path_rate,
-                proj_drop=self.proj_drop,
-                gata=self.gata,
-                gata_v1=self.gata_v1,
-                edge_channels=self.edge_channels,
-                normalize_attn_output=self.normalize_attn_output,
-                use_phi_every_layer=self.use_phi_every_layer,
-                num_rbf=self.num_rbf,
-                ffn_variant=self.ffn_variant,
-                num_experts=self.num_experts,
-                dual_stream=self.dual_stream,
-                blocks=blocks,
-                num_graphs=num_graphs,
-                deterministic=deterministic,
+        block_kwargs = build_block_kwargs(
+            self,
+            edge_channels_list=edge_channels_list,
+            block_atom_edge=block_atom_edge,
+            blocks=blocks,
+            num_graphs=num_graphs,
+            deterministic=deterministic,
         )
         edge_scalars_c = edge_scalars.astype(cdt)
         phi_c = phi_r.astype(cdt) if self.use_phi_every_layer else None

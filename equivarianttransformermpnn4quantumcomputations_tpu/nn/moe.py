@@ -12,9 +12,11 @@ transformer_block.py:375-634 and the ..._BREAKING_EQUIVARIANCE fork
   utilization monitoring (reference :610-617).
 
 Note on parallelism: this is a *dense* soft mixture — every expert runs on
-every atom (reference semantics; SURVEY §2.6).  Expert-parallel sharding over
-a mesh axis is a natural TPU extension since the expert einsum batches over
-K, but is not required for parity.
+every atom (reference semantics; SURVEY §2.6).  Experts are STACKED via
+``nn.vmap`` (params carry a leading ``num_experts`` axis), so (a) the K
+expert GEMMs batch into one MXU einsum instead of K separate launches, and
+(b) the expert axis is expert-parallel shardable over a mesh axis
+(parallel/sharding.py maps it to the ``model`` axis).
 """
 
 from __future__ import annotations
@@ -102,18 +104,33 @@ class MoEHTRFeedForward(nn.Module):
             n_equiv = -(-self.num_experts // 2)
         else:
             n_equiv = self.num_experts
+        n_nonequiv = self.num_experts - n_equiv
 
-        out = jnp.zeros_like(x)
-        for k in range(self.num_experts):
-            cls = (
-                EquivariantExpertFFN if k < n_equiv else NonEquivariantExpertFFN
-            )
-            ek = cls(
-                sphere_channels=self.sphere_channels,
-                hidden_channels=self.hidden_channels,
-                edge_channels=self.edge_channels,
-                lmax=self.lmax,
-                name=f"expert_{k}",
+        kw = dict(
+            sphere_channels=self.sphere_channels,
+            hidden_channels=self.hidden_channels,
+            edge_channels=self.edge_channels,
+            lmax=self.lmax,
+        )
+
+        def stack(cls, size, name):
+            """vmap over a leading expert axis: params [K_e, ...] (EP axis),
+            inputs broadcast, outputs stacked [K_e, N, Kc, C]."""
+            return nn.vmap(
+                cls,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                in_axes=None,
+                out_axes=0,
+                axis_size=size,
+            )(**kw, name=name)
+
+        outs = stack(EquivariantExpertFFN, n_equiv, "experts_eq")(x, c_i)
+        if n_nonequiv:
+            outs_ne = stack(
+                NonEquivariantExpertFFN, n_nonequiv, "experts_ne"
             )(x, c_i)
-            out = out + w[:, k][:, None, None] * ek
+            outs = jnp.concatenate([outs, outs_ne], axis=0)
+        # soft mixture: out[n] = sum_k w[n,k] * expert_k(x)[n]
+        out = jnp.einsum("nk,knqc->nqc", w, outs)
         return out, entropy
