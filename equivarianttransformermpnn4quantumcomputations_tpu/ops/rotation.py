@@ -323,30 +323,112 @@ def _apply_z_reduced(x, cos_m, sin_m, layout: IrrepsLayout, inverse: bool = Fals
     return c[..., None] * x - s[..., None] * x[:, flip, :]
 
 
+# ── flip-folded K-major pipeline ─────────────────────────────────────────────
+#
+# Each (z-apply, J) pair is ONE constant GEMM: with P the (m -> -m) flip
+# permutation, S = diag(sin(m t)), C = diag(cos(m t)),
+#     J (C - S P) x = J (c o x) + (J P) (s o x)          (since S P = P (-S'))
+# so stacking [c o x ; s o x] and multiplying by [J | JP] ([K, 2K], constant)
+# absorbs the flip-gather and both elementwise products into the GEMM's
+# operand fusion.  The whole pipeline runs K-MAJOR ([K, E, C]): the natural
+# output layout of dot(J, x[K, E*C]) is exactly [K, E, C], so XLA emits NO
+# transpose copies between stages — profiled r2, plain [E,K,C] einsums spent
+# ~25% of device time in layout copies (`scripts/tpu_profile.py`).
+# FLOP cost is identical on the MXU: the contraction dim (2K=50) still pads
+# to the same 128-wide systolic tile as K=25.
+
+
+@functools.lru_cache(maxsize=None)
+def _J_pair(lmax: int, mmax: int | None = None) -> np.ndarray:
+    """[J | J[:, flip]] with rows reduced to |m| <= mmax when given."""
+    from .irreps import layout as get_layout
+
+    J = _J_dense(lmax)
+    flip = _flip_index(lmax)
+    if mmax is not None and mmax < lmax:
+        J = J[get_layout(lmax, mmax).full_indices, :]
+    return np.concatenate([J, J[:, flip]], axis=1)
+
+
+@functools.lru_cache(maxsize=None)
+def _Jc_pair_reduced(lmax: int, mmax: int) -> np.ndarray:
+    """[Jc | Jc[:, flip_red]]: J columns reduced to the |m| <= mmax layout."""
+    from .irreps import layout as get_layout
+
+    J = _J_dense(lmax)
+    if mmax < lmax:
+        Jc = J[:, get_layout(lmax, mmax).full_indices]
+    else:
+        Jc = J
+    flip_r = _flip_index_reduced(lmax, mmax)
+    return np.concatenate([Jc, Jc[:, flip_r]], axis=1)
+
+
+def _tables_km(cos_m, sin_m, absm, sign, dtype):
+    """K-major per-coefficient tables: c, s with shape [K, E]."""
+    c = cos_m.T[absm].astype(dtype)
+    s = (sin_m.T[absm] * np.asarray(sign)[:, None]).astype(dtype)
+    return c, s
+
+
+def _stage_km(Jpair, c, s, x, sign: float = 1.0):
+    """One (z-apply o J) stage, K-major: [K_out, E, C] from [K_in, E, C]."""
+    z = jnp.concatenate([c[..., None] * x, (sign * s)[..., None] * x], axis=0)
+    return jnp.einsum(
+        "ik,kec->iec", jnp.asarray(Jpair, dtype=x.dtype), z
+    )
+
+
 def _rotate_to_edge_factored(w: WignerFactors, x, layout: IrrepsLayout):
     lmax = layout.lmax
-    J = jnp.asarray(_J_dense(lmax), dtype=x.dtype)
-    z = _apply_z_full(x, w.cg, w.sg, lmax)
-    z = jnp.einsum("ij,ejc->eic", J, z)
-    z = _apply_z_full(z, w.cb, w.sb, lmax)
-    # second J: keep only the |m| <= mmax output rows
-    Jr = J[layout.full_indices, :] if layout.mmax < lmax else J
-    z = jnp.einsum("ij,ejc->eic", Jr, z)
-    return _apply_z_reduced(z, w.ca, w.sa, layout)
+    absm_f = _abs_m_index(lmax)
+    sign_f = _sign_m(lmax)
+    xT = jnp.transpose(x, (1, 0, 2))  # [K, E, C]
+    c_g, s_g = _tables_km(w.cg, w.sg, absm_f, sign_f, x.dtype)
+    z = _stage_km(_J_pair(lmax), c_g, s_g, xT)
+    c_b, s_b = _tables_km(w.cb, w.sb, absm_f, sign_f, x.dtype)
+    z = _stage_km(_J_pair(lmax, layout.mmax), c_b, s_b, z)
+    # final z-apply(alpha) on the reduced layout, still K-major
+    absm_r = np.abs(layout.m_complex)
+    sign_r = np.sign(layout.m_complex).astype(np.float32)
+    flip_r = _flip_index_reduced(lmax, layout.mmax)
+    c_a, s_a = _tables_km(w.ca, w.sa, absm_r, sign_r, x.dtype)
+    z = c_a[..., None] * z - s_a[..., None] * z[flip_r]
+    return jnp.transpose(z, (1, 0, 2))
 
 
 def _rotate_from_edge_factored(w: WignerFactors, x, layout: IrrepsLayout):
     lmax = layout.lmax
-    J = jnp.asarray(_J_dense(lmax), dtype=x.dtype)
-    z = _apply_z_reduced(x, w.ca, w.sa, layout, inverse=True)
-    Jc = J[:, layout.full_indices] if layout.mmax < lmax else J
-    z = jnp.einsum("ij,ejc->eic", Jc, z)
-    z = _apply_z_full(z, w.cb, w.sb, lmax, inverse=True)
-    z = jnp.einsum("ij,ejc->eic", J, z)
-    z = _apply_z_full(z, w.cg, w.sg, lmax, inverse=True)
+    absm_r = np.abs(layout.m_complex)
+    sign_r = np.sign(layout.m_complex).astype(np.float32)
+    xT = jnp.transpose(x, (1, 0, 2))  # [K_red, E, C]
+    # inverse stages: J (c o x) - (JP) (s o x)
+    c_a, s_a = _tables_km(w.ca, w.sa, absm_r, sign_r, x.dtype)
+    z = _stage_km(
+        _Jc_pair_reduced(lmax, layout.mmax), c_a, s_a, xT, sign=-1.0
+    )
+    absm_f = _abs_m_index(lmax)
+    sign_f = _sign_m(lmax)
+    c_b, s_b = _tables_km(w.cb, w.sb, absm_f, sign_f, x.dtype)
+    z = _stage_km(_J_pair(lmax), c_b, s_b, z, sign=-1.0)
+    # final inverse z-apply(gamma): c o x + s o x[flip]
+    flip_f = _flip_index(lmax)
+    c_g, s_g = _tables_km(w.cg, w.sg, absm_f, sign_f, x.dtype)
+    z = c_g[..., None] * z + s_g[..., None] * z[flip_f]
     if layout.mmax < lmax:
-        z = z * jnp.asarray(layout.rescale, dtype=z.dtype)[None, :, None]
-    return z
+        z = z * jnp.asarray(layout.rescale, dtype=z.dtype)[:, None, None]
+    return jnp.transpose(z, (1, 0, 2))
+
+
+def _use_fused_rotate() -> bool:
+    """Fused pallas rotate (ops/pallas/rotate.py): default on TPU;
+    ETQ_FUSED_ROTATE=0/1 overrides (tests use =1 with interpret mode)."""
+    import os
+
+    v = os.environ.get("ETQ_FUSED_ROTATE", "")
+    if v != "":
+        return v not in ("0", "false", "off")
+    return jax.default_backend() == "tpu"
 
 
 def rotate_to_edge(wigner, x, layout: IrrepsLayout):
@@ -360,6 +442,10 @@ def rotate_to_edge(wigner, x, layout: IrrepsLayout):
         [E, K_red, C] features in the edge frame (l-primary reduced layout).
     """
     if isinstance(wigner, WignerFactors):
+        if _use_fused_rotate():
+            from .pallas.rotate import rotate_to_edge_fused
+
+            return rotate_to_edge_fused(wigner, x, layout)
         return _rotate_to_edge_factored(wigner, x, layout)
     out = []
     for l in range(layout.lmax + 1):
@@ -383,6 +469,10 @@ def rotate_from_edge(wigner: WignerBlocks, x, layout: IrrepsLayout):
         [E, (lmax+1)**2, C] global-frame features.
     """
     if isinstance(wigner, WignerFactors):
+        if _use_fused_rotate():
+            from .pallas.rotate import rotate_from_edge_fused
+
+            return rotate_from_edge_fused(wigner, x, layout)
         return _rotate_from_edge_factored(wigner, x, layout)
     out = []
     offset = 0
