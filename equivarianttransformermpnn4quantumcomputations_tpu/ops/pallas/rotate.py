@@ -67,31 +67,52 @@ def _rot_kernel(
 ):
     x = x_ref[:]                      # [T, Ki, C]
     dt = x.dtype
-    t1a = t1a_ref[:].astype(dt)       # [T, Ki]
-    t1b = t1b_ref[:].astype(dt)
-    z = jnp.concatenate(
-        [x * t1a[:, :, None], x * t1b[:, :, None]], axis=1
-    )                                  # [T, 2Ki, C]
+
+    T, Ki, C = x.shape
+    # K-minor compute layout: transpose once (f32 — Mosaic restricts 16-bit
+    # minor relayouts), then every stage is ONE [T*C, K]-shaped MXU dot
+    # instead of T tiny per-edge matmuls
+    xt = jnp.transpose(x.astype(jnp.float32), (0, 2, 1))  # [T, C, Ki]
+    xt = xt.astype(dt)
+
+    def lane(t_ref):
+        # [T, K] -> [T, 1, K]: sublane-dim insertion (minor dim unchanged)
+        return t_ref[:][:, None, :].astype(dt)
+
     W1 = w1_ref[:].astype(dt)          # [Km, 2Ki]
-    h = jax.lax.dot_general(
-        W1, z, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(dt)                       # [Km, T, C]
-    t2a = t2a_ref[:].astype(dt)        # [Km, T]
-    t2b = t2b_ref[:].astype(dt)
-    z2 = jnp.concatenate(
-        [h * t2a[:, :, None], h * t2b[:, :, None]], axis=0
-    )                                  # [2Km, T, C]
+    Km = W1.shape[0]
+    W1a, W1b = W1[:, :Ki], W1[:, Ki:]
+    z1 = (xt * lane(t1a_ref)).reshape(T * C, Ki)
+    z2 = (xt * lane(t1b_ref)).reshape(T * C, Ki)
+    h = (
+        jax.lax.dot_general(
+            z1, W1a, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + jax.lax.dot_general(
+            z2, W1b, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    ).astype(dt).reshape(T, C, Km)
     W2 = w2_ref[:].astype(dt)          # [2Ko, 2Km]
-    uv = jax.lax.dot_general(
-        W2, z2, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(dt)                       # [2Ko, T, C]
-    Ko = uv.shape[0] // 2
-    t3a = t3a_ref[:].astype(dt)        # [Ko, T]
-    t3b = t3b_ref[:].astype(dt)
-    y = t3a[:, :, None] * uv[:Ko] + t3b[:, :, None] * uv[Ko:]
-    o_ref[:] = jnp.transpose(y, (1, 0, 2)).astype(o_ref.dtype)
+    Ko = W2.shape[0] // 2
+    W2a, W2b = W2[:, :Km], W2[:, Km:]
+    y1 = (h * lane(t2a_ref)).reshape(T * C, Km)
+    y2 = (h * lane(t2b_ref)).reshape(T * C, Km)
+    uv = (
+        jax.lax.dot_general(
+            y1, W2a, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + jax.lax.dot_general(
+            y2, W2b, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    ).astype(dt).reshape(T, C, 2 * Ko)
+    y = uv[:, :, :Ko] * lane(t3a_ref) + uv[:, :, Ko:] * lane(t3b_ref)
+    # back to [T, Ko, C] for the standard-layout output block
+    yt = jnp.transpose(y.astype(jnp.float32), (0, 2, 1))
+    o_ref[:] = yt.astype(o_ref.dtype)
 
 
 def _tile(Ki: int, Km: int, Ko: int, C: int):
@@ -104,7 +125,8 @@ def _tile(Ki: int, Km: int, Ko: int, C: int):
     working set ~10 MB in bf16 (fits the 16 MB scoped VMEM).
     """
     T = 128
-    Cb = 128 if C % 128 == 0 else C
+    # full-C blocks: longer contiguous DMA runs; VMEM allows it (64 MB limit)
+    Cb = C if (C % 128 == 0 and C <= 512) else (128 if C % 128 == 0 else C)
     return T, Cb
 
 
@@ -112,20 +134,28 @@ def _call_rot(x, tabs):
     """x: [E, Ki, C] (E already tile-aligned) -> [E, Ko, C]."""
     t1a, t1b, t2a, t2b, t3a, t3b, W1, W2 = tabs
     E, Ki, C = x.shape
-    Km = t2a.shape[0]
-    Ko = t3a.shape[0]
+    Km = t2a.shape[1]
+    Ko = t3a.shape[1]
     T, Cb = _tile(Ki, Km, Ko, C)
     n_tiles = E // T
     n_cblk = C // Cb
 
     et_spec = _block_spec((T, Ki), lambda i, j: (i, 0))       # [E, Ki]
-    km_spec = _block_spec((Km, T), lambda i, j: (0, i))       # [Km, E]
-    ko_spec = _block_spec((Ko, T), lambda i, j: (0, i))       # [Ko, E]
+    km_spec = _block_spec((T, Km), lambda i, j: (i, 0))       # [E, Km]
+    ko_spec = _block_spec((T, Ko), lambda i, j: (i, 0))       # [E, Ko]
     w1_spec = _block_spec(W1.shape, lambda i, j: (0, 0))
     w2_spec = _block_spec(W2.shape, lambda i, j: (0, 0))
     x_spec = _block_spec((T, Ki, Cb), lambda i, j: (i, 0, j))
     o_spec = _block_spec((T, Ko, Cb), lambda i, j: (i, 0, j))
 
+    kwargs = {}
+    if pltpu is not None and not _interpret():
+        # the T=128 x Cb=128 working set slightly exceeds the default 16 MB
+        # scoped-vmem limit (v5e has 128 MB physical VMEM)
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+            dimension_semantics=("parallel", "parallel"),
+        )
     return pl.pallas_call(
         _rot_kernel,
         grid=(n_tiles, n_cblk),
@@ -136,6 +166,7 @@ def _call_rot(x, tabs):
         out_specs=o_spec,
         out_shape=jax.ShapeDtypeStruct((E, Ko, C), x.dtype),
         interpret=_interpret(),
+        **kwargs,
     )(t1a, t1b, t2a, t2b, t3a, t3b, W1, W2, x)
 
 
@@ -252,8 +283,8 @@ def _tabs_to(w, k, rescale_in: bool):
         s_g = s_g * r
     return (
         c_g, s_g,                      # t1: [E, K]
-        c_b.T, s_b.T,                  # t2: [K, E]
-        c_a.T, -s_a.T,                 # t3: [Kr, E]
+        c_b, s_b,                      # t2: [E, K]
+        c_a, -s_a,                     # t3: [E, Kr]
         jnp.asarray(k["W1_to"]), jnp.asarray(k["W2_to"]),
     )
 
@@ -263,15 +294,15 @@ def _tabs_from(w, k, rescale_out: bool):
     c_g, s_g = _cs(w.cg, w.sg, k["absm_f"], k["sign_f"])
     c_b, s_b = _cs(w.cb, w.sb, k["absm_f"], k["sign_f"])
     c_a, s_a = _cs(w.ca, w.sa, k["absm_r"], k["sign_r"])
-    t3a, t3b = c_g.T, s_g.T            # [K, E]
+    t3a, t3b = c_g, s_g                # [E, K]
     if rescale_out:
-        r = jnp.asarray(k["rescale"])[:, None]
+        r = jnp.asarray(k["rescale"])[None, :]
         t3a = t3a * r
         t3b = t3b * r
     return (
         c_a, s_a,                      # t1: [E, Kr]
-        c_b.T, s_b.T,                  # t2: [K, E]
-        t3a, t3b,                      # t3: [K, E]
+        c_b, s_b,                      # t2: [E, K]
+        t3a, t3b,                      # t3: [E, K]
         jnp.asarray(k["W1_from"]), jnp.asarray(k["W2_from"]),
     )
 
@@ -287,10 +318,8 @@ def _pad_tabs(tabs, E, pad):
         return tabs
     out = []
     for t in tabs:
-        if t.ndim == 2 and t.shape[0] == E:
-            t = jnp.pad(t, ((0, pad), (0, 0)))
-        elif t.ndim == 2 and t.shape[1] == E:
-            t = jnp.pad(t, ((0, 0), (0, pad)))
+        if t.ndim == 2 and t.shape[0] == E:  # per-edge tables (constants
+            t = jnp.pad(t, ((0, pad), (0, 0)))  # W1/W2 never match E)
         out.append(t)
     return tuple(out)
 

@@ -107,5 +107,44 @@ def main():
     bench("E-major nocat", f_emajor_nocat, x_ekc, cs, ss)
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and "--fused" not in sys.argv:
     main()
+
+
+def bench_fused():
+    import time
+    import jax
+    import jax.numpy as jnp
+    from equivarianttransformermpnn4quantumcomputations_tpu.ops.irreps import (
+        layout as get_layout,
+    )
+    from equivarianttransformermpnn4quantumcomputations_tpu.ops.rotation import (
+        compute_wigner,
+        _rotate_to_edge_factored,
+    )
+    from equivarianttransformermpnn4quantumcomputations_tpu.ops.pallas.rotate import (
+        rotate_to_edge_fused,
+    )
+
+    E, C, LMAX, MMAX = 5120, 256, 4, 2
+    rng = np.random.default_rng(0)
+    vec = jnp.asarray(rng.normal(size=(E, 3)), jnp.float32)
+    w = compute_wigner(LMAX, vec, dtype=jnp.float32)
+    lay = get_layout(LMAX, MMAX)
+    x = jnp.asarray(rng.normal(size=(E, (LMAX + 1) ** 2, C)), jnp.bfloat16)
+
+    f1 = jax.jit(lambda x: rotate_to_edge_fused(w, x, lay))
+    f2 = jax.jit(lambda x: _rotate_to_edge_factored(w, x, lay))
+    for name, f in [("fused kernel", f1), ("xla factored", f2)]:
+        out = f(x); jax.block_until_ready(out)
+        n = 50
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = f(x)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / n
+        print(f"to_edge {name:14s} {dt*1e3:7.3f} ms")
+
+
+if __name__ == "__main__" and "--fused" in sys.argv:
+    bench_fused()
