@@ -30,7 +30,12 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.irreps import IrrepsLayout
-from ..ops.rotation import WignerBlocks, rotate_from_edge, rotate_to_edge
+from ..ops.rotation import (
+    WignerBlocks,
+    rotate_from_edge,
+    rotate_to_edge,
+    rotate_to_edge_m0,
+)
 from ..ops.s2grid import S2Grid
 from ..ops.pallas.segsum import gather_nodes
 from ..ops.segment import segment_softmax, segment_sum
@@ -134,7 +139,23 @@ class GraphAttention(nn.Module):
             msg = msg * w[:, expand, :]
 
         # ── rotate into edge frame ────────────────────────────────────────
-        msg = rotate_to_edge(wigner, msg, self.layout_red)  # [E, K_red, 2C]
+        # GATA value paths rebuild their stream from the UNROTATED X_j and
+        # consume only the m = 0 block of the rotated message (alpha +
+        # attn_output scalars) — rotate/convolve just that block.  Exactly
+        # equal to the full path (same params; tests/test_variants.py);
+        # ETQ_M0_ONLY=0 opts out.
+        import os
+
+        m0_only = (
+            (self.gata or self.gata_v1)
+            and self.use_sep_s2_act
+            and not self.use_gate_act
+            and os.environ.get("ETQ_M0_ONLY", "1") != "0"
+        )
+        if m0_only:
+            msg = rotate_to_edge_m0(wigner, msg, self.layout_red)
+        else:
+            msg = rotate_to_edge(wigner, msg, self.layout_red)  # [E, K_red, 2C]
 
         # ── SO(2) conv 1 with extra m=0 channels ──────────────────────────
         alpha_ch = self.num_heads * self.attn_alpha_channels
@@ -155,6 +176,7 @@ class GraphAttention(nn.Module):
             out_channels=self.hidden_channels,
             extra_m0=extra_m0,
             rad_channels=None if self.use_m_share_rad else tuple(ec),
+            m0_only=m0_only,
             name="so2_conv_1",
         )(msg, x_edge if not self.use_m_share_rad else None)
 

@@ -75,6 +75,13 @@ class SO2Conv(nn.Module):
     out_channels: int
     extra_m0: int = 0
     rad_channels: Optional[Sequence[int]] = None
+    # m0_only: the caller consumes ONLY the m = 0 outputs (GATA value path —
+    # reference Gotennet fork drops the m > 0 message, transformer_block.py:
+    # 311-325).  Input is the pre-sliced m = 0 block [E, lmax+1, C_in]
+    # (ops/rotation.py:rotate_to_edge_m0); the m > 0 weights are still
+    # DECLARED (parameter-structure parity with the full conv) but their
+    # GEMMs are skipped, and the returned message is None.
+    m0_only: bool = False
 
     @nn.compact
     def __call__(self, x, edge_scalars=None):
@@ -82,7 +89,7 @@ class SO2Conv(nn.Module):
         E = x.shape[0]
         Cin, Cout = self.in_channels, self.out_channels
 
-        xm = x[:, lay.to_m_perm, :]  # m-primary
+        xm = x if self.m0_only else x[:, lay.to_m_perm, :]  # m-primary
 
         # radial modulation: one weight per distinct (l, m>=0) input coeff
         rad = None
@@ -113,6 +120,13 @@ class SO2Conv(nn.Module):
             y0 = y0[:, self.extra_m0 :]
         out_blocks.append(y0.reshape(E, L0, Cout))
         offset = L0
+
+        if self.m0_only:
+            for m in range(1, lay.mmax + 1):
+                Lm = int(lay.m_size[m])
+                self.param(f"w_m{m}_r", fan_in_normal(), (Lm * Cin, Lm * Cout))
+                self.param(f"w_m{m}_i", fan_in_normal(), (Lm * Cin, Lm * Cout))
+            return None, (extra if self.extra_m0 else y0)
 
         # m > 0: complex-pair linear maps
         for m in range(1, lay.mmax + 1):

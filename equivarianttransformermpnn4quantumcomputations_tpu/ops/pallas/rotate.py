@@ -256,11 +256,13 @@ def _consts(lmax: int, mmax: int):
     Jp_i = np.concatenate([J, -J[:, flip]], axis=1)
     W2_from = np.concatenate([Jp_i, Jp_i[flip, :]], axis=0)
     rescale = np.asarray(lay.rescale, dtype=np.float32)
+    m0_rows = np.nonzero(np.asarray(lay.m_complex) == 0)[0].astype(np.int32)
     return dict(
         absm_f=absm_f, sign_f=sign_f, absm_r=absm_r, sign_r=sign_r,
         W1_to=W1_to.astype(np.float32), W2_to=W2_to.astype(np.float32),
         W1_from=W1_from.astype(np.float32),
         W2_from=W2_from.astype(np.float32), rescale=rescale,
+        m0_rows=m0_rows, Kr=len(lay.m_complex),
     )
 
 
@@ -322,6 +324,53 @@ def _pad_tabs(tabs, E, pad):
             t = jnp.pad(t, ((0, pad), (0, 0)))  # W1/W2 never match E)
         out.append(t)
     return tuple(out)
+
+
+def _slice_m0(ts, ta, k):
+    """Restrict a (to_edge, adjoint from_edge) table pair to the m = 0
+    OUTPUT rows.
+
+    In the GATA attention branch only the m = 0 block of the rotated message
+    feeds live compute (the value activation rebuilds its stream from the
+    unrotated X_j; reference Gotennet fork transformer_block.py:311-325), but
+    the pallas rotate is opaque to XLA's dead-code elimination — slice the
+    constants instead so the kernel computes (lmax+1)/K_red of the output.
+    The flip permutation fixes m = 0 (so the P_r-permuted W2 block slices to
+    the same rows), and cos(0)=1 / sin(0)=0 keep t3 trivially consistent.
+    """
+    m0 = k["m0_rows"]
+    Kr = k["Kr"]
+    t1a, t1b, t2a, t2b, t3a, t3b, W1, W2 = ts
+    ts_m0 = (
+        t1a, t1b, t2a, t2b,
+        t3a[:, m0], t3b[:, m0],
+        W1, W2[np.concatenate([m0, Kr + m0]), :],
+    )
+    a1a, a1b, a2a, a2b, a3a, a3b, V1, V2 = ta
+    ta_m0 = (
+        a1a[:, m0], a1b[:, m0], a2a, a2b, a3a, a3b,
+        V1[:, np.concatenate([m0, Kr + m0])], V2,
+    )
+    return ts_m0, ta_m0
+
+
+def rotate_to_edge_m0_fused(w, x, layout):
+    """Fused rotate_to_edge producing ONLY the m = 0 rows:
+    [E, K_full, C] -> [E, lmax+1, C] (order l = 0..lmax)."""
+    k = _consts(layout.lmax, layout.mmax)
+    ts, ta = _slice_m0(
+        _tabs_to(w, k, rescale_in=False),
+        _tabs_from(w, k, rescale_out=False),
+        k,
+    )
+    E = x.shape[0]
+    pad = (-E) % _MAX_TILE
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0), (0, 0)))
+        ts = _pad_tabs(ts, E, pad)
+        ta = _pad_tabs(ta, E, pad)
+    out = _to_core(x, ts, ta)
+    return out[:E] if pad else out
 
 
 def rotate_to_edge_fused(w, x, layout):

@@ -457,6 +457,21 @@ def rotate_to_edge(wigner, x, layout: IrrepsLayout):
     return jnp.concatenate(out, axis=1)
 
 
+def rotate_to_edge_m0(wigner, x, layout: IrrepsLayout):
+    """rotate_to_edge returning ONLY the m = 0 rows: [E, lmax+1, C].
+
+    For value paths that consume just the invariant (m = 0) block of the
+    rotated message (the GATA attention branch) — the fused kernel computes
+    (lmax+1)/K_red of the output; the XLA paths rely on DCE of the slice.
+    """
+    if isinstance(wigner, WignerFactors) and _use_fused_rotate():
+        from .pallas.rotate import rotate_to_edge_m0_fused
+
+        return rotate_to_edge_m0_fused(wigner, x, layout)
+    m0_rows = np.nonzero(np.asarray(layout.m_complex) == 0)[0]
+    return rotate_to_edge(wigner, x, layout)[:, m0_rows, :]
+
+
 def rotate_from_edge(wigner: WignerBlocks, x, layout: IrrepsLayout):
     """Inverse rotation back to the global frame, zero-padding the truncated m.
 

@@ -70,6 +70,32 @@ def test_roundtrip_identity_full_mmax(data):
     )
 
 
+def test_to_edge_m0_forward_and_grad(data):
+    """m0-only variant == the m = 0 rows of the full rotate (fwd + grad)."""
+    from equivarianttransformermpnn4quantumcomputations_tpu.ops.pallas.rotate import (
+        rotate_to_edge_m0_fused,
+    )
+
+    w, x, _, lay = data
+    m0 = np.nonzero(np.asarray(lay.m_complex) == 0)[0]
+    ref = _rotate_to_edge_factored(w, x, lay)[:, m0, :]
+    out = rotate_to_edge_m0_fused(w, x, lay)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5
+    )
+    rng = np.random.default_rng(3)
+    gw = jnp.asarray(rng.normal(size=ref.shape), jnp.float32)
+    g1 = jax.grad(
+        lambda v: jnp.sum(rotate_to_edge_m0_fused(w, v, lay) * gw)
+    )(x)
+    g2 = jax.grad(
+        lambda v: jnp.sum(_rotate_to_edge_factored(w, v, lay)[:, m0, :] * gw)
+    )(x)
+    np.testing.assert_allclose(
+        np.asarray(g1), np.asarray(g2), rtol=1e-5, atol=1e-5
+    )
+
+
 def test_grads_match_xla(data):
     w, x, _, lay = data
     rng = np.random.default_rng(1)

@@ -76,3 +76,26 @@ def test_moe_routing_entropy_sown():
     # softmax over 4 experts: entropy in [0, log 4]
     for e in flat:
         assert 0.0 <= float(e) <= np.log(4) + 1e-5
+
+
+def test_m0_only_matches_full_path(monkeypatch):
+    """GATA attention with the m0-only rotate/conv shortcut must be exactly
+    equal to the full rotate + full SO2 conv path (same param structure —
+    the m > 0 weights are declared but skipped)."""
+    rng = np.random.default_rng(2)
+    b = batch(rng)
+    model = EquiformerV2MatPES(**TINY)
+    params = model.init(jax.random.PRNGKey(0), b)
+    out_m0 = model.apply(params, b)
+    monkeypatch.setenv("ETQ_M0_ONLY", "0")
+    out_full = model.apply(params, b)
+    np.testing.assert_allclose(
+        np.asarray(out_m0["energy_total"]),
+        np.asarray(out_full["energy_total"]),
+        rtol=1e-6, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_m0["node_energy"]),
+        np.asarray(out_full["node_energy"]),
+        rtol=1e-5, atol=1e-6,
+    )
