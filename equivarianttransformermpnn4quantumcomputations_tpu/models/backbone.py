@@ -205,7 +205,31 @@ class EquiformerV2Backbone(nn.Module):
         dist = jnp.sqrt(jnp.maximum(jnp.sum(dvec * dvec, -1), 1e-12))
 
         # ── per-edge Wigner matrices (detached geometry) ──────────────────
-        wigner = compute_wigner(self.lmax, dvec)
+        # ETQ_WIGNER selects the representation (all numerically identical):
+        #   dense    — composite block-sparse D built ONCE per forward, each
+        #              rotate is a pairs-kernel VPU pass (ops/pallas/
+        #              rotate_dense.py); measured 32.2 -> 43.1 graphs/s on
+        #              the flagship step (PERF.md) — default on TPU
+        #   factored — 5-stage Xa J Xb J Xc chain per rotate (fused pallas
+        #              kernel on TPU; default elsewhere — the interpret-mode
+        #              pairs kernel is slow on CPU)
+        #   blocks   — per-degree dense D, XLA batched-matmul application
+        #              (measured 25.3 g/s: XLA lowers the tiny batched
+        #              matmuls poorly)
+        import os as _os
+
+        _default = "dense" if jax.default_backend() == "tpu" else "factored"
+        _wrep = _os.environ.get("ETQ_WIGNER", _default)
+        if _wrep == "blocks":
+            from ..ops.rotation import compute_wigner_blocks
+
+            wigner = compute_wigner_blocks(self.lmax, dvec)
+        elif _wrep == "dense":
+            from ..ops.pallas.rotate_dense import compute_wigner_dense
+
+            wigner = compute_wigner_dense(self.lmax, self.mmax, dvec)
+        else:
+            wigner = compute_wigner(self.lmax, dvec)
 
         # ── invariant edge features ───────────────────────────────────────
         smear = GaussianSmearing(0.0, self.cutoff, self.num_rbf, 2.0)

@@ -447,6 +447,11 @@ def rotate_to_edge(wigner, x, layout: IrrepsLayout):
 
             return rotate_to_edge_fused(wigner, x, layout)
         return _rotate_to_edge_factored(wigner, x, layout)
+    from .pallas.rotate_dense import WignerDense, rotate_to_edge_dense
+
+    if isinstance(wigner, WignerDense):
+        assert layout.mmax == wigner.mmax
+        return rotate_to_edge_dense(wigner, x, layout)
     out = []
     for l in range(layout.lmax + 1):
         w = wigner.blocks[l]
@@ -468,6 +473,11 @@ def rotate_to_edge_m0(wigner, x, layout: IrrepsLayout):
         from .pallas.rotate import rotate_to_edge_m0_fused
 
         return rotate_to_edge_m0_fused(wigner, x, layout)
+    from .pallas.rotate_dense import WignerDense, rotate_to_edge_m0_dense
+
+    if isinstance(wigner, WignerDense):
+        assert layout.mmax == wigner.mmax
+        return rotate_to_edge_m0_dense(wigner, x, layout)
     m0_rows = np.nonzero(np.asarray(layout.m_complex) == 0)[0]
     return rotate_to_edge(wigner, x, layout)[:, m0_rows, :]
 
@@ -489,6 +499,11 @@ def rotate_from_edge(wigner: WignerBlocks, x, layout: IrrepsLayout):
 
             return rotate_from_edge_fused(wigner, x, layout)
         return _rotate_from_edge_factored(wigner, x, layout)
+    from .pallas.rotate_dense import WignerDense, rotate_from_edge_dense
+
+    if isinstance(wigner, WignerDense):
+        assert layout.mmax == wigner.mmax
+        return rotate_from_edge_dense(wigner, x, layout)
     out = []
     offset = 0
     for l in range(layout.lmax + 1):
