@@ -43,15 +43,46 @@ def parse_stress(stress_raw) -> np.ndarray:
     return (voigt * KBAR_TO_EV_ANG3).astype(np.float32)
 
 
-def _parse_entry(entry: dict):
-    from pymatgen.core import Structure  # gated
+def _structure_from_dict(d: dict):
+    """pymatgen-free parse of a ``Structure.as_dict()`` payload.
 
-    with warnings.catch_warnings():
-        warnings.simplefilter("ignore")
-        s = Structure.from_dict(entry["structure"])
-    z = np.asarray([site.specie.Z for site in s.sites], np.int32)
-    pos = np.asarray(s.cart_coords, np.float32)
-    cell = np.asarray(s.lattice.matrix, np.float32)
+    The MatPES JSON stores pymatgen-serialized structures (reference
+    models/data_loader_matpes.py:51-59); the dict schema is stable:
+    ``lattice.matrix`` (3x3 rows) + ``sites`` with ``species`` (element,
+    occupancy) and fractional ``abc`` (Cartesian ``xyz`` also present in
+    full dumps).  MatPES entries are ordered crystals: one element per site.
+    """
+    from .periodic import ATOMIC_NUMBERS
+
+    cell = np.asarray(d["lattice"]["matrix"], np.float64)
+    z, pos = [], []
+    for site in d["sites"]:
+        z.append(ATOMIC_NUMBERS[site["species"][0]["element"]])
+        if "xyz" in site:
+            pos.append(np.asarray(site["xyz"], np.float64))
+        else:
+            pos.append(np.asarray(site["abc"], np.float64) @ cell)
+    return (
+        np.asarray(z, np.int32),
+        np.asarray(pos, np.float64).reshape(len(z), 3),
+        cell,
+    )
+
+
+def _parse_entry(entry: dict):
+    try:
+        from pymatgen.core import Structure  # gated; preferred
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            s = Structure.from_dict(entry["structure"])
+        z = np.asarray([site.specie.Z for site in s.sites], np.int32)
+        pos = np.asarray(s.cart_coords, np.float32)
+        cell = np.asarray(s.lattice.matrix, np.float32)
+    except ImportError:
+        z, pos, cell = _structure_from_dict(entry["structure"])
+        pos = pos.astype(np.float32)
+        cell = cell.astype(np.float32)
     energy = float(entry.get("energy", 0.0))
     forces = np.asarray(
         entry.get("forces", np.zeros((len(z), 3))), np.float32

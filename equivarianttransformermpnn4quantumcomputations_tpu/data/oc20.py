@@ -72,7 +72,10 @@ class OC20Dataset:
         costs hours before step 1.  Like the reference, estimated counts mean
         a few indices at the end of each file may be inaccessible (wrapped to
         the last frame here rather than raising)."""
-        from ase.io import read  # gated
+        try:
+            from ase.io import read  # gated; preferred when available
+        except ImportError:
+            from .extxyz import read_extxyz as read  # pure-python fallback
 
         self._read = read
         if isinstance(paths, str):

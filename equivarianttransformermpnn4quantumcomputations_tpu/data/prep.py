@@ -20,7 +20,13 @@ import os
 
 import numpy as np
 
-__all__ = ["compute_qm9_stats", "pyg_qm9_to_ase_db", "make_small_db"]
+__all__ = [
+    "compute_qm9_stats",
+    "compute_qm9_stats_arrays",
+    "pyg_qm9_to_ase_db",
+    "make_small_db",
+    "save_qm9_npz",
+]
 
 _RAW_KEYS = [
     "mu", "alpha", "homo", "lumo", "gap", "r2", "zpve",
@@ -62,6 +68,59 @@ def make_small_db(db_path: str, out_path: str, n: int = 1000):
                 break
             dst.write(row.toatoms(), data=dict(row.data))
     return out_path
+
+
+def save_qm9_npz(molecules, out_path: str):
+    """Dependency-free QM9 dump consumed by ``data/qm9.py:QM9NpzDataset``.
+
+    ``molecules``: iterable of (numbers int[n], positions float[n,3],
+    raw_targets float[12] in _RAW_KEYS order).  One npz holds the whole set
+    (concatenated atoms + molecule offsets) — the ASE-db equivalent for
+    environments without ase.
+    """
+    numbers, positions, targets, offsets = [], [], [], [0]
+    for z, pos, y in molecules:
+        numbers.append(np.asarray(z, np.int32))
+        positions.append(np.asarray(pos, np.float32).reshape(len(z), 3))
+        targets.append(np.asarray(y, np.float32).reshape(12))
+        offsets.append(offsets[-1] + len(z))
+    np.savez_compressed(
+        out_path,
+        numbers=np.concatenate(numbers),
+        positions=np.concatenate(positions),
+        offsets=np.asarray(offsets, np.int64),
+        targets_raw=np.stack(targets),
+    )
+    return out_path
+
+
+def compute_qm9_stats_arrays(targets_raw, out_json: str):
+    """Stats JSON (paper order/units) straight from a raw-target array —
+    the npz-path counterpart of ``compute_qm9_stats``."""
+    from .qm9 import PROPERTY_ORDER, RAW_KEY_ORDER, paper_targets
+
+    arr = np.stack(
+        [
+            paper_targets(dict(zip(RAW_KEY_ORDER, row)))
+            for row in np.asarray(targets_raw, np.float64)
+        ]
+    )
+    stats = {}
+    for j, name in enumerate(PROPERTY_ORDER):
+        col = arr[:, j]
+        stats[name] = {
+            "mean": float(col.mean()),
+            "std": float(col.std()),
+            "min": float(col.min()),
+            "max": float(col.max()),
+            "p1": float(np.percentile(col, 1)),
+            "p99": float(np.percentile(col, 99)),
+        }
+    out = {"count": int(arr.shape[0]), "stats": stats}
+    os.makedirs(os.path.dirname(os.path.abspath(out_json)), exist_ok=True)
+    with open(out_json, "w") as f:
+        json.dump(out, f, indent=2)
+    return out
 
 
 def compute_qm9_stats(db_path: str, out_json: str):

@@ -28,10 +28,18 @@ from .graph import GraphSample
 
 __all__ = [
     "PROPERTY_ORDER",
+    "RAW_KEY_ORDER",
     "load_qm9_stats",
     "QM9Dataset",
+    "QM9NpzDataset",
     "qm9_random_split",
     "denormalize_targets",
+]
+
+# raw (PyG download) column order, as stored by data/prep.py and the npz dump
+RAW_KEY_ORDER = [
+    "mu", "alpha", "homo", "lumo", "gap", "r2", "zpve",
+    "U0", "U", "H", "G", "Cv",
 ]
 
 # paper order (reference data_loader_qm9_v4.py:44-45)
@@ -64,6 +72,28 @@ def load_qm9_stats(json_path: str):
     std = np.asarray(stds, np.float32)
     std[std == 0.0] = 1.0
     return mean, std
+
+
+def paper_targets(d) -> np.ndarray:
+    """Raw PyG units -> paper units, paper order (reference
+    models/data_loader_qm9_v4.py:196-211).  ``d`` maps raw keys to scalars."""
+    return np.asarray(
+        [
+            d["alpha"],
+            d["gap"] * EV_TO_MEV,
+            d["homo"] * EV_TO_MEV,
+            d["lumo"] * EV_TO_MEV,
+            d["mu"],
+            d["Cv"],
+            d["G"] * EV_TO_MEV,
+            d["H"] * EV_TO_MEV,
+            d["r2"],
+            d["U"] * EV_TO_MEV,
+            d["U0"] * EV_TO_MEV,
+            d["zpve"] * EV_TO_MEV,
+        ],
+        dtype=np.float32,
+    )
 
 
 class QM9Dataset:
@@ -104,25 +134,7 @@ class QM9Dataset:
     def __getitem__(self, idx: int) -> GraphSample:
         row = self.db.get(id=self.keys[idx])
         atoms = row.toatoms()
-        d = row.data
-        # PyG QM9 raw units -> paper units, paper order (reference :196-211)
-        targets = np.asarray(
-            [
-                d["alpha"],
-                d["gap"] * EV_TO_MEV,
-                d["homo"] * EV_TO_MEV,
-                d["lumo"] * EV_TO_MEV,
-                d["mu"],
-                d["Cv"],
-                d["G"] * EV_TO_MEV,
-                d["H"] * EV_TO_MEV,
-                d["r2"],
-                d["U"] * EV_TO_MEV,
-                d["U0"] * EV_TO_MEV,
-                d["zpve"] * EV_TO_MEV,
-            ],
-            dtype=np.float32,
-        )
+        targets = paper_targets(row.data)
         if self.target_indices is not None:
             targets = targets[self.target_indices]
             mean = self.mean[self.target_indices]
@@ -134,6 +146,73 @@ class QM9Dataset:
         return GraphSample(
             atomic_numbers=np.asarray(atoms.numbers, np.int32),
             pos=np.asarray(atoms.positions, np.float32),
+            y=targets,
+        )
+
+
+class QM9NpzDataset:
+    """npz-backed QM9 dataset — same target pipeline, no ASE dependency.
+
+    Layout (written by ``data/prep.py:save_qm9_npz``): ``numbers`` int32
+    concatenated over molecules, ``positions`` float32 [A, 3] likewise,
+    ``offsets`` int64 [N+1] molecule boundaries, ``targets_raw`` float32
+    [N, 12] in ``RAW_KEY_ORDER`` (raw PyG units).  Conversion to paper
+    units/order, z-score normalization and target subsets are identical to
+    ``QM9Dataset`` (reference models/data_loader_qm9_v4.py:196-222).
+    """
+
+    def __init__(
+        self,
+        npz_path: str,
+        stats_json: str | None = None,
+        max_samples: int | None = None,
+        normalize: bool = True,
+        target_indices: Sequence[int] | None = None,
+    ):
+        with np.load(npz_path) as f:
+            self.numbers = np.asarray(f["numbers"], np.int32)
+            self.positions = np.asarray(f["positions"], np.float32)
+            self.offsets = np.asarray(f["offsets"], np.int64)
+            raw = np.asarray(f["targets_raw"], np.float32)
+        self.targets = np.stack(
+            [
+                paper_targets(dict(zip(RAW_KEY_ORDER, row)))
+                for row in raw
+            ]
+        )
+        self.n = len(self.targets)
+        if max_samples is not None:
+            self.n = min(self.n, max_samples)
+        self.normalize = normalize
+        self.target_indices = (
+            np.asarray(target_indices) if target_indices is not None else None
+        )
+        if normalize:
+            if stats_json is None:
+                stats_json = os.path.join(
+                    os.path.dirname(npz_path), "qm9_full_stats.json"
+                )
+            self.mean, self.std = load_qm9_stats(stats_json)
+        else:
+            self.mean = np.zeros(12, np.float32)
+            self.std = np.ones(12, np.float32)
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, idx: int) -> GraphSample:
+        a, b = int(self.offsets[idx]), int(self.offsets[idx + 1])
+        targets = self.targets[idx]
+        mean, std = self.mean, self.std
+        if self.target_indices is not None:
+            targets = targets[self.target_indices]
+            mean = mean[self.target_indices]
+            std = std[self.target_indices]
+        if self.normalize:
+            targets = (targets - mean) / std
+        return GraphSample(
+            atomic_numbers=self.numbers[a:b],
+            pos=self.positions[a:b],
             y=targets,
         )
 
