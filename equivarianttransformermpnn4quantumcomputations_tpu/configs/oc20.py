@@ -53,3 +53,36 @@ config_debug = {
     "epochs": 1,
     "run_dir": "runs/oc20_debug",
 }
+
+# dataset-free integration config: tiny model on synthetic LJ crystals
+# (the OC20 analog of configs/matpes.py config_synthetic_convergence —
+# exercises trainer + explicit-force head + eval CLI end to end on CPU)
+config_synthetic = {
+    **config,
+    "synthetic": True,
+    "n_samples": 16,
+    "n_atoms": 6,
+    "num_layers": 2,
+    "sphere_channels": 16,
+    "attn_hidden_channels": 16,
+    "num_heads": 2,
+    "attn_alpha_channels": 4,
+    "attn_value_channels": 4,
+    "ffn_hidden_channels": 32,
+    "lmax": 2,
+    "mmax": 1,
+    "edge_channels": 16,
+    "num_rbf": 32,
+    "max_num_elements": 32,
+    "cutoff": 5.0,
+    "max_neighbors": 12,
+    "alpha_drop": 0.0,
+    "drop_path_rate": 0.0,
+    "avg_num_nodes": 6.0,
+    "avg_degree": 5.0,
+    "batch_size": 4,
+    "epochs": 2,
+    "warmup_steps": 5,
+    "log_every": 10,
+    "run_dir": "runs/oc20_synthetic",
+}

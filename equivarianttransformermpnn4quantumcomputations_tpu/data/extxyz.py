@@ -105,7 +105,13 @@ def _parse_frame(lines, start: int):
             symbols = [v[0] for v in vals]
         elif kind == "I":
             columns[name] = np.asarray(vals, np.int64).reshape(natoms, c1 - c0)
-        else:  # R / L
+        elif kind == "L":
+            # logical columns hold T/F (or True/False/0/1) strings — e.g.
+            # OC20 S2EF headers carry ``move_mask:L:1``
+            columns[name] = np.asarray(
+                [[t in ("T", "True", "1") for t in v] for v in vals], bool
+            ).reshape(natoms, c1 - c0)
+        else:  # R
             columns[name] = np.asarray(vals, np.float64).reshape(
                 natoms, c1 - c0
             )
@@ -123,14 +129,25 @@ def _parse_frame(lines, start: int):
 
 
 def read_extxyz(path: str, index=-1):
-    """ase.io.read-compatible: int index -> one frame; ":" -> list of all."""
+    """ase.io.read-compatible: int index -> one frame; ":" -> list of all.
+
+    Blank lines between frames (some writers pad with them) are skipped, and
+    for a non-negative int index parsing stops as soon as that frame is
+    reached instead of scanning the whole file.
+    """
+    want = None if index == ":" else int(index)
     with open(path) as f:
         lines = f.read().splitlines()
     frames = []
     pos = 0
-    while pos < len(lines) and lines[pos].strip():
+    while pos < len(lines):
+        if not lines[pos].strip():
+            pos += 1
+            continue
         atoms, pos = _parse_frame(lines, pos)
         frames.append(atoms)
-    if index == ":":
+        if want is not None and want >= 0 and len(frames) > want:
+            return frames[want]
+    if want is None:
         return frames
-    return frames[int(index)]
+    return frames[want]

@@ -303,7 +303,8 @@ class EquiformerV2Backbone(nn.Module):
                 # projections (the reference's dual-stream fork is not wired
                 # into a committed model file; this mirrors the t_ij recipe)
                 a_ij = Dense(self.edge_channels, name="a_h_proj")(
-                    h[edge_src] + h[edge_dst]
+                    gather_nodes(h, edge_src, blocks=blocks)
+                    + gather_nodes(h, edge_dst, blocks=blocks)
                 ) * Dense(self.edge_channels, name="a_W_erp")(phi_r)
 
         # ── transformer blocks ────────────────────────────────────────────

@@ -91,7 +91,14 @@ def main(argv=None):
     first = next(iter(loader))
     fb = {k: jnp.asarray(v) for k, v in first.asdict().items()}
     params0 = model.init(jax.random.PRNGKey(0), fb)
-    tx = make_optimizer(warmup_cosine(1e-3, 10, 100))
+    # rebuild the optimizer from the checkpointed config: weight_decay>0
+    # adds a mask node to the opt_state tree, and orbax restore checks
+    # structure
+    tx = make_optimizer(
+        warmup_cosine(cfg.get("lr", 1e-3), 10, 100),
+        cfg.get("weight_decay", 0.0),
+        cfg.get("grad_clip", 1.0),
+    )
     state0 = create_train_state(params0, tx)
     state, _ = ckpt.restore(name, state0)
 

@@ -16,58 +16,13 @@ import time
 import numpy as np
 
 
-def main(argv=None):
-    parser = argparse.ArgumentParser()
-    parser.add_argument("--config", default="default")
-    parser.add_argument("--checkpoint", default=None)
-    parser.add_argument("--epochs", type=int, default=None)
-    parser.add_argument("--data-parallel", action="store_true")
-    args = parser.parse_args(argv)
-
-    from ..configs import oc20 as oc_cfg
-
-    cfg = {"default": oc_cfg.config, "debug": oc_cfg.config_debug}[
-        args.config
-    ].copy()
-    if args.epochs is not None:
-        cfg["epochs"] = args.epochs
-
-    import jax
-    import jax.numpy as jnp
-    import optax
-
-    from ..data.loader import PaddedLoader, infer_pad_sizes
-    from ..data.oc20 import OC20Dataset, OC20LmdbDataset
+def build_oc20_model(cfg):
+    """EquiformerV2OC20 from a config dict — shared by the trainer and the
+    standalone checkpoint-eval CLI (test_oc20.py), mirroring the reference's
+    rebuild-from-``ckpt['config']`` protocol (test_oc20.py:33-92)."""
     from ..models.oc20 import EquiformerV2OC20
-    from ..utils.logging import RunLogger
-    from .checkpoint import CheckpointManager, install_sigterm_checkpoint
-    from .schedules import warmup_cosine
-    from .trainer import (
-        TrainState,
-        create_train_state,
-        ema_update,
-        make_optimizer,
-        oc20_loss,
-    )
 
-    path = cfg["data_path"]
-    ds_cls = OC20LmdbDataset if str(path).endswith(".lmdb") else OC20Dataset
-    train_ds = ds_cls(path)
-    val_ds = ds_cls(cfg["val_path"]) if cfg.get("val_path") else train_ds
-
-    n_pad, e_pad = infer_pad_sizes(
-        train_ds, cfg["cutoff"], cfg["max_neighbors"], cfg["batch_size"]
-    )
-    train_loader = PaddedLoader(
-        train_ds, cfg["batch_size"], cfg["cutoff"], cfg["max_neighbors"],
-        n_pad, e_pad, shuffle=True, seed=cfg["seed"],
-    )
-    val_loader = PaddedLoader(
-        val_ds, cfg["batch_size"], cfg["cutoff"], cfg["max_neighbors"],
-        n_pad, e_pad,
-    )
-
-    model = EquiformerV2OC20(
+    return EquiformerV2OC20(
         num_layers=cfg["num_layers"],
         sphere_channels=cfg["sphere_channels"],
         attn_hidden_channels=cfg["attn_hidden_channels"],
@@ -86,6 +41,115 @@ def main(argv=None):
         avg_num_nodes=cfg["avg_num_nodes"],
         avg_degree=cfg["avg_degree"],
     )
+
+
+_EVAL_FWD_CACHE: dict = {}
+
+
+def evaluate(model, params, loader):
+    """Denormalized OC20 MAEs over a loader: (energy eV, force eV/A) in OCP
+    units — |Δ|·std with the hardcoded OCP normalization (reference
+    data_loader_oc20v2.py:21-24); force MAE masked to real atoms."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..data.oc20 import OC20_ENERGY_STD
+
+    # jitted apply cached per model instance so per-epoch validation in the
+    # trainer does not retrace
+    eval_fwd = _EVAL_FWD_CACHE.get(id(model))
+    if eval_fwd is None:
+        eval_fwd = jax.jit(
+            lambda p, batch: model.apply(p, batch, deterministic=True)
+        )
+        _EVAL_FWD_CACHE[id(model)] = eval_fwd
+
+    e_err = f_err = 0.0
+    e_cnt = f_cnt = 0
+    for pb in loader:
+        batch = {k: jnp.asarray(v) for k, v in pb.asdict().items()}
+        outs = eval_fwd(params, batch)
+        e_err += np.abs(
+            np.asarray(outs["energy"]) - np.asarray(batch["energy"])
+        ).sum()
+        e_cnt += outs["energy"].shape[0]
+        m = np.asarray(batch["node_mask"])
+        f_err += np.abs(
+            np.asarray(outs["forces"])[m] - np.asarray(batch["forces"])[m]
+        ).sum()
+        f_cnt += int(m.sum()) * 3
+    e_mae = e_err / max(e_cnt, 1) * OC20_ENERGY_STD
+    f_mae = f_err / max(f_cnt, 1) * OC20_ENERGY_STD
+    return e_mae, f_mae
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", default="default")
+    parser.add_argument("--checkpoint", default=None)
+    parser.add_argument("--epochs", type=int, default=None)
+    parser.add_argument("--run-dir", default=None)
+    parser.add_argument("--data-parallel", action="store_true")
+    args = parser.parse_args(argv)
+
+    from ..configs import oc20 as oc_cfg
+
+    cfg = {
+        "default": oc_cfg.config,
+        "debug": oc_cfg.config_debug,
+        "synthetic": oc_cfg.config_synthetic,
+    }[args.config].copy()
+    if args.epochs is not None:
+        cfg["epochs"] = args.epochs
+    if args.run_dir is not None:
+        cfg["run_dir"] = args.run_dir
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from ..data.loader import PaddedLoader, infer_pad_sizes
+    from ..data.oc20 import OC20Dataset, OC20LmdbDataset
+    from ..utils.logging import RunLogger
+    from .checkpoint import CheckpointManager, install_sigterm_checkpoint
+    from .schedules import warmup_cosine
+    from .trainer import (
+        TrainState,
+        create_train_state,
+        ema_update,
+        make_optimizer,
+        oc20_loss,
+    )
+
+    if cfg.get("synthetic"):
+        # extxyz-free end-to-end path (LJ crystals; see data/synthetic.py)
+        from ..data.synthetic import SyntheticCrystals
+
+        train_ds = SyntheticCrystals(
+            n_samples=cfg.get("n_samples", 32), n_atoms=cfg.get("n_atoms", 6)
+        )
+        val_ds = train_ds
+    else:
+        path = cfg["data_path"]
+        ds_cls = (
+            OC20LmdbDataset if str(path).endswith(".lmdb") else OC20Dataset
+        )
+        train_ds = ds_cls(path)
+        val_ds = ds_cls(cfg["val_path"]) if cfg.get("val_path") else train_ds
+
+    n_pad, e_pad = infer_pad_sizes(
+        train_ds, cfg["cutoff"], cfg["max_neighbors"], cfg["batch_size"]
+    )
+    train_loader = PaddedLoader(
+        train_ds, cfg["batch_size"], cfg["cutoff"], cfg["max_neighbors"],
+        n_pad, e_pad, shuffle=True, seed=cfg["seed"],
+    )
+    val_loader = PaddedLoader(
+        val_ds, cfg["batch_size"], cfg["cutoff"], cfg["max_neighbors"],
+        n_pad, e_pad,
+    )
+
+    model = build_oc20_model(cfg)
 
     steps_per_epoch = max(len(train_loader), 1)
     sched = warmup_cosine(
@@ -194,10 +258,6 @@ def main(argv=None):
 
         step = jax.jit(step_fn, donate_argnums=(0,))
 
-    @jax.jit
-    def eval_fwd(params, batch):
-        return model.apply(params, batch, deterministic=True)
-
     best = np.inf
     step_count = 0
     for epoch in range(cfg["epochs"]):
@@ -213,24 +273,7 @@ def main(argv=None):
             if step_count % cfg["log_every"] == 0:
                 logger.log_step(step_count, {"train/loss": losses[-1]})
         # validation: denormalized MAEs (OCP std)
-        from ..data.oc20 import OC20_ENERGY_STD
-
-        e_err = f_err = 0.0
-        e_cnt = f_cnt = 0
-        for pb in val_loader:
-            batch = {k: jnp.asarray(v) for k, v in pb.asdict().items()}
-            outs = eval_fwd(state.ema_params, batch)
-            e_err += np.abs(
-                np.asarray(outs["energy"]) - np.asarray(batch["energy"])
-            ).sum()
-            e_cnt += outs["energy"].shape[0]
-            m = np.asarray(batch["node_mask"])
-            f_err += np.abs(
-                np.asarray(outs["forces"])[m] - np.asarray(batch["forces"])[m]
-            ).sum()
-            f_cnt += int(m.sum()) * 3
-        e_mae = e_err / max(e_cnt, 1) * OC20_ENERGY_STD
-        f_mae = f_err / max(f_cnt, 1) * OC20_ENERGY_STD
+        e_mae, f_mae = evaluate(model, state.ema_params, val_loader)
         dt = time.time() - t0
         print(
             f"epoch {epoch}: loss={np.mean(losses):.4f} "

@@ -25,3 +25,29 @@ try:
 except Exception:
     pass
 jax.config.update("jax_enable_x64", False)
+
+import pytest  # noqa: E402
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="run tests marked @pytest.mark.slow",
+    )
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: long-running test — deselected by default on this single-core "
+        "box; enable with --runslow or ETQ_RUN_SLOW=1 (full pre-commit runs)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow") or os.environ.get("ETQ_RUN_SLOW") == "1":
+        return
+    skip = pytest.mark.skip(reason="slow (use --runslow / ETQ_RUN_SLOW=1)")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

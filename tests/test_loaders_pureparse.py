@@ -82,6 +82,60 @@ def test_extxyz_roundtrip(tmp_path):
     assert len(last) == 5
 
 
+# Genuine OC20 S2EF extxyz text (format per the published fairchem S2EF
+# trajectory dumps: Lattice + species/pos/move_mask:L:1/tags/forces columns,
+# free_energy in the comment line) — hand-written to the spec, NOT generated
+# by this repo's own writer, so it checks the format assumptions in
+# data/extxyz.py against the real header vocabulary, including the logical
+# (L) column and a padding blank line between frames.
+_OC20_REAL_FIXTURE = """\
+3
+Lattice="8.1 0.0 0.0 0.0 8.1 0.0 0.0 0.0 24.3" Properties=species:S:1:pos:R:3:move_mask:L:1:tags:I:1:forces:R:3 energy=-12.34567890 free_energy=-12.34567890 pbc="T T T"
+Cu 0.00000000 0.00000000 0.00000000 F 0 0.01000000 -0.02000000 0.00300000
+Cu 2.05000000 2.05000000 0.00000000 F 0 -0.01000000 0.02000000 -0.00300000
+O 1.00000000 1.00000000 2.50000000 T 2 0.50000000 -0.40000000 0.30000000
+
+2
+Lattice="8.1 0.0 0.0 0.0 8.1 0.0 0.0 0.0 24.3" Properties=species:S:1:pos:R:3:move_mask:L:1:tags:I:1:forces:R:3 energy=-6.50000000 free_energy=-6.50000000 pbc="T T T"
+Pt 0.00000000 0.00000000 0.00000000 T 1 0.00000000 0.00000000 0.10000000
+H 0.50000000 0.50000000 1.50000000 T 2 -0.10000000 0.00000000 0.00000000
+"""
+
+
+def test_extxyz_real_oc20_fixture(tmp_path):
+    path = tmp_path / "s2ef_real.extxyz"
+    path.write_text(_OC20_REAL_FIXTURE)
+
+    frames = read_extxyz(str(path), index=":")
+    assert len(frames) == 2  # interior blank line must not truncate the file
+
+    a = frames[0]
+    assert [SYMBOLS[z] for z in a.numbers] == ["Cu", "Cu", "O"]
+    assert a.get_potential_energy() == pytest.approx(-12.3456789)
+    np.testing.assert_allclose(
+        a.get_forces()[2], [0.5, -0.4, 0.3], atol=1e-8
+    )
+    assert a.pbc.all()
+    np.testing.assert_allclose(a.cell[2, 2], 24.3)
+    np.testing.assert_array_equal(a.get_tags(), [0, 0, 2])
+
+    b = frames[1]
+    assert [SYMBOLS[z] for z in b.numbers] == ["Pt", "H"]
+    assert b.get_potential_energy() == pytest.approx(-6.5)
+
+    # non-negative int index parses only the needed prefix and matches ":"
+    first = read_extxyz(str(path), index=0)
+    assert len(first) == 3
+    np.testing.assert_allclose(first.positions, a.positions)
+
+    # the OC20Dataset end-to-end path digests the real-format file too
+    ds = OC20Dataset(str(tmp_path), normalize=False)
+    assert len(ds) == 2
+    s = ds[0]
+    assert s.energy == pytest.approx(-12.3456789)
+    np.testing.assert_array_equal(s.fixed, [False, False, True])
+
+
 def test_oc20_dataset_end_to_end(tmp_path):
     rng = np.random.default_rng(1)
     f1 = [_rand_frame(rng, 6) for _ in range(3)]
