@@ -152,12 +152,7 @@ class GraphAttention(nn.Module):
             and not self.use_gate_act
             and os.environ.get("ETQ_M0_ONLY", "1") != "0"
         )
-        if m0_only:
-            msg = rotate_to_edge_m0(wigner, msg, self.layout_red)
-        else:
-            msg = rotate_to_edge(wigner, msg, self.layout_red)  # [E, K_red, 2C]
 
-        # ── SO(2) conv 1 with extra m=0 channels ──────────────────────────
         alpha_ch = self.num_heads * self.attn_alpha_channels
         if self.use_gate_act:
             extra_m0 = alpha_ch + lmax * self.hidden_channels
@@ -170,6 +165,23 @@ class GraphAttention(nn.Module):
         else:
             extra_m0 = alpha_ch
 
+        # Fused rotate+conv (ops/pallas/rc_fused.py): the rotation into the
+        # edge frame, radial modulation and the SO(2) GEMMs run in ONE Pallas
+        # kernel with the rotated intermediates VMEM-resident (kills the
+        # layout-copy tax at the custom-call boundaries, PERF.md round 2).
+        from ..ops.pallas.rc_fused import so2conv_fusable
+
+        rc1 = so2conv_fusable(
+            wigner, 2 * self.sphere_channels, self.hidden_channels,
+            extra_m0, m0=m0_only,
+        )
+        # ── SO(2) conv 1 with extra m=0 channels ──────────────────────────
+        if not rc1:
+            if m0_only:
+                msg = rotate_to_edge_m0(wigner, msg, self.layout_red)
+            else:
+                msg = rotate_to_edge(wigner, msg, self.layout_red)
+
         msg, x0_extra = SO2Conv(
             layout=self.layout_red,
             in_channels=2 * self.sphere_channels,
@@ -178,7 +190,11 @@ class GraphAttention(nn.Module):
             rad_channels=None if self.use_m_share_rad else tuple(ec),
             m0_only=m0_only,
             name="so2_conv_1",
-        )(msg, x_edge if not self.use_m_share_rad else None)
+        )(
+            msg,
+            x_edge if not self.use_m_share_rad else None,
+            wigner=wigner if rc1 else None,
+        )
 
         # ── attention logits ──────────────────────────────────────────────
         def compute_alpha(x0_alpha):
@@ -260,7 +276,15 @@ class GraphAttention(nn.Module):
             msg = s2_activation(msg, self.grid_red)
             alpha = compute_alpha(x0_extra)
 
-        # ── SO(2) conv 2 ──────────────────────────────────────────────────
+        # ── SO(2) conv 2 (+ fused rotate-back when rc2) ───────────────────
+        # rc2 fuses conv-2 and the rotation back to the global frame in one
+        # kernel; the alpha weighting moves AFTER the rotate-back, which is
+        # exact — alpha scales per (head) channel while the Wigner rotation
+        # mixes the coefficient axis, so the two commute elementwise.
+        rc2 = so2conv_fusable(
+            wigner, self.hidden_channels,
+            self.num_heads * self.attn_value_channels, 0,
+        )
         msg, _ = SO2Conv(
             layout=self.layout_red,
             in_channels=self.hidden_channels,
@@ -268,7 +292,7 @@ class GraphAttention(nn.Module):
             extra_m0=0,
             rad_channels=None,
             name="so2_conv_2",
-        )(msg, None)
+        )(msg, None, wigner=wigner if rc2 else None, rotate_back=rc2)
 
         # ── alpha-weighted aggregation ────────────────────────────────────
         if self.alpha_drop > 0.0:
@@ -281,7 +305,8 @@ class GraphAttention(nn.Module):
         msg = msg.reshape(E, Kr, self.num_heads * self.attn_value_channels)
 
         # ── rotate back + reduce ──────────────────────────────────────────
-        msg = rotate_from_edge(wigner, msg, self.layout_red)
+        if not rc2:
+            msg = rotate_from_edge(wigner, msg, self.layout_red)
         agg = segment_sum(
             msg, edge_dst, num_segments=num_nodes, mask=edge_mask,
             sorted_ids=True, blocks=self.blocks,

@@ -84,12 +84,19 @@ class SO2Conv(nn.Module):
     m0_only: bool = False
 
     @nn.compact
-    def __call__(self, x, edge_scalars=None):
+    def __call__(self, x, edge_scalars=None, wigner=None, rotate_back=False):
+        """``wigner``: pass the per-edge WignerDense to take the FUSED
+        rotate+conv Pallas path (ops/pallas/rc_fused.py) — then ``x`` is the
+        UNROTATED [E, K_full, C_in] global-frame features and the rotation
+        into the edge frame happens inside the kernel.  ``rotate_back=True``
+        (requires ``wigner``) additionally fuses the rotation back to the
+        global frame after the conv, returning [E, K_full, C_out].  Callers
+        gate on ops.pallas.rc_fused.so2conv_fusable; parameters are identical
+        across paths (checkpoint-compatible)."""
         lay = self.layout
         E = x.shape[0]
         Cin, Cout = self.in_channels, self.out_channels
-
-        xm = x if self.m0_only else x[:, lay.to_m_perm, :]  # m-primary
+        L0 = int(lay.m_size[0])
 
         # radial modulation: one weight per distinct (l, m>=0) input coeff
         rad = None
@@ -97,23 +104,80 @@ class SO2Conv(nn.Module):
             n_rad = int(lay.m_size.sum()) * Cin
             rad = RadialMLP(tuple(self.rad_channels) + (n_rad,))(edge_scalars)
 
-        out_blocks = []
-        extra = None
-        offset = 0
-        offset_rad = 0
-
-        # m = 0 block: plain dense over (degrees x channels)
-        L0 = int(lay.m_size[0])
-        x0 = xm[:, :L0, :].reshape(E, L0 * Cin)
-        if rad is not None:
-            x0 = x0 * rad[:, : L0 * Cin]
-            offset_rad = L0 * Cin
         w0 = self.param(
             "w_m0", fan_in_normal(), (L0 * Cin, self.extra_m0 + L0 * Cout)
         )
         b0 = self.param(
             "b_m0", nn.initializers.zeros, (self.extra_m0 + L0 * Cout,)
         )
+        wms = []
+        for m in range(1, lay.mmax + 1):
+            Lm = int(lay.m_size[m])
+            wms.append((
+                self.param(f"w_m{m}_r", fan_in_normal(), (Lm * Cin, Lm * Cout)),
+                self.param(f"w_m{m}_i", fan_in_normal(), (Lm * Cin, Lm * Cout)),
+            ))
+
+        def wbig_of(wr, wi, dt):
+            # complex butterfly as ONE matmul:
+            #   [yr yi] = [xr xi] @ [[wr, wi], [-wi, wr]]
+            # (half the matmul launches, same FLOPs, better MXU tiling)
+            return jnp.concatenate(
+                [
+                    jnp.concatenate([wr, wi], axis=1),
+                    jnp.concatenate([-wi, wr], axis=1),
+                ],
+                axis=0,
+            ).astype(dt)
+
+        if wigner is not None:
+            from ..ops.pallas.rc_fused import (
+                fused_conv_rotate,
+                fused_rotate_conv,
+            )
+
+            dt = x.dtype
+            ex = self.extra_m0
+            wbigs = [wbig_of(wr, wi, dt) for wr, wi in wms]
+            if rotate_back:
+                if ex or self.m0_only or rad is not None:
+                    raise ValueError(
+                        "rotate_back fusion supports the plain conv only "
+                        "(no extra_m0 / m0_only / radial modulation)"
+                    )
+                y = fused_conv_rotate(
+                    x, wigner, None,
+                    (w0.astype(dt), *wbigs), (b0.astype(dt),), c_rot=Cout,
+                )
+                return y, None
+            if self.m0_only:
+                _, extra = fused_rotate_conv(
+                    x, wigner, rad,
+                    (w0[:, :ex].astype(dt),), (b0[:ex].astype(dt),),
+                    c_msg=Cout, extra=ex, m0=True,
+                )
+                return None, extra
+            if ex:
+                ws = (w0[:, :ex].astype(dt), w0[:, ex:].astype(dt), *wbigs)
+                bs = (b0[:ex].astype(dt), b0[ex:].astype(dt))
+            else:
+                ws = (w0.astype(dt), *wbigs)
+                bs = (b0.astype(dt),)
+            return fused_rotate_conv(x, wigner, rad, ws, bs,
+                                     c_msg=Cout, extra=ex)
+
+        xm = x if self.m0_only else x[:, lay.to_m_perm, :]  # m-primary
+
+        out_blocks = []
+        extra = None
+        offset = 0
+        offset_rad = 0
+
+        # m = 0 block: plain dense over (degrees x channels)
+        x0 = xm[:, :L0, :].reshape(E, L0 * Cin)
+        if rad is not None:
+            x0 = x0 * rad[:, : L0 * Cin]
+            offset_rad = L0 * Cin
         y0 = x0 @ w0.astype(x0.dtype) + b0.astype(x0.dtype)
         if self.extra_m0:
             extra = y0[:, : self.extra_m0]
@@ -122,10 +186,6 @@ class SO2Conv(nn.Module):
         offset = L0
 
         if self.m0_only:
-            for m in range(1, lay.mmax + 1):
-                Lm = int(lay.m_size[m])
-                self.param(f"w_m{m}_r", fan_in_normal(), (Lm * Cin, Lm * Cout))
-                self.param(f"w_m{m}_i", fan_in_normal(), (Lm * Cin, Lm * Cout))
             return None, (extra if self.extra_m0 else y0)
 
         # m > 0: complex-pair linear maps
@@ -139,24 +199,9 @@ class SO2Conv(nn.Module):
                 xr = xr * rm
                 xi = xi * rm
                 offset_rad += Lm * Cin
-            wr = self.param(
-                f"w_m{m}_r", fan_in_normal(), (Lm * Cin, Lm * Cout)
-            )
-            wi = self.param(
-                f"w_m{m}_i", fan_in_normal(), (Lm * Cin, Lm * Cout)
-            )
-            # complex butterfly as ONE matmul:
-            #   [yr yi] = [xr xi] @ [[wr, wi], [-wi, wr]]
-            # (half the matmul launches, same FLOPs, better MXU tiling)
-            wbig = jnp.concatenate(
-                [
-                    jnp.concatenate([wr, wi], axis=1),
-                    jnp.concatenate([-wi, wr], axis=1),
-                ],
-                axis=0,
-            )
+            wr, wi = wms[m - 1]
             xcat = jnp.concatenate([xr, xi], axis=1)
-            y = (xcat @ wbig.astype(xcat.dtype)).reshape(E, 2, Lm, Cout)
+            y = (xcat @ wbig_of(wr, wi, xcat.dtype)).reshape(E, 2, Lm, Cout)
             out_blocks.append(y.reshape(E, 2 * Lm, Cout))
             offset += 2 * Lm
 

@@ -204,6 +204,22 @@ def rc_enabled() -> bool:
     return True
 
 
+def so2conv_fusable(wigner, c_in: int, c_out: int, extra: int = 0,
+                    m0: bool = False) -> bool:
+    """Whether an SO2Conv call can take the fused rotate+conv path: dense
+    Wigner representation, fusion enabled, and lane-aligned channel widths
+    (128-multiples for in-kernel row slicing).  All reference model configs
+    satisfy the alignment (sphere 128, hidden 128, heads*value 128)."""
+    from .rotate_dense import WignerDense
+
+    if not isinstance(wigner, WignerDense) or not rc_enabled():
+        return False
+    if m0:
+        # m0 path emits only the invariant `extra` block
+        return extra > 0 and c_in % 128 == 0 and extra % 128 == 0
+    return c_in % 128 == 0 and c_out % 128 == 0 and extra % 128 == 0
+
+
 # ── kernel body ────────────────────────────────────────────────────────────
 
 
@@ -769,6 +785,11 @@ def fused_rotate_conv(
     Returns:
         (msg [E, K_red, c_msg] | None, extra [E, extra] | None)
     """
+    if m0 and rad is not None:
+        # the m0 kernel reads only the first L0 radial groups; slice OUTSIDE
+        # the custom_vjp so the rad cotangent shape matches (the slice's own
+        # VJP zero-pads the unused m > 0 groups)
+        rad = rad[:, : (w.lmax + 1) * x.shape[2]]
     meta = RCMeta(
         lmax=w.lmax, mmax=w.mmax, c_rot=x.shape[2], c_msg=c_msg,
         extra=extra, has_rad=rad is not None, has_bias=len(bs) > 0,
@@ -809,6 +830,9 @@ def fused_conv_rotate(
     Returns:
         y [E, K_full, c_rot] global-frame features.
     """
+    if m0 and rad is not None:
+        # match the m0 rad slicing of fused_rotate_conv (cotangent shape)
+        rad = rad[:, : (w.lmax + 1) * c_rot]
     extra = 0 if extra_in is None else extra_in.shape[1]
     c_msg = msg.shape[2] if msg is not None else c_rot
     meta = RCMeta(

@@ -338,3 +338,88 @@ def test_fused_flagship_layout_forward():
                        CB, CA, 0)
     y_r = rotate_from_edge_dense(wd, t, lay)
     np.testing.assert_allclose(y_f, y_r, rtol=3e-5, atol=3e-5)
+
+
+# ── model-level integration: GraphAttention takes the fused path ───────────
+#
+# At 128-aligned widths (so2conv_fusable) with ETQ_WIGNER=dense, attention
+# conv-1 runs as fused rotate+conv and conv-2 as fused conv+rotate-back; the
+# outputs (and autograd forces) must match ETQ_RC_FUSED=0 (pairs rotate +
+# plain XLA GEMMs) with the SAME parameters.
+
+ALIGNED = dict(
+    num_layers=1,
+    sphere_channels=64,      # conv-1 c_in = 2*64 = 128
+    attn_hidden_channels=128,
+    num_heads=2,
+    attn_alpha_channels=64,  # alpha_ch = 128
+    attn_value_channels=64,  # conv-2 c_out = 128
+    ffn_hidden_channels=16,
+    lmax=2,
+    mmax=1,
+    grid_resolution=None,
+    edge_channels=16,
+    num_rbf=16,
+    max_num_elements=20,
+    cutoff=5.0,
+    alpha_drop=0.0,
+    drop_path_rate=0.0,
+)
+
+
+def _matpes_batch(rng, n=6):
+    from equivarianttransformermpnn4quantumcomputations_tpu.data.graph import (
+        GraphSample,
+        collate,
+    )
+
+    s = GraphSample(
+        atomic_numbers=rng.integers(1, 15, size=n).astype(np.int32),
+        pos=(rng.normal(size=(n, 3)) * 1.5).astype(np.float32),
+        energy=0.0,
+        forces=np.zeros((n, 3), np.float32),
+    )
+    pb = collate([s], 5.0, 20, n_pad=8, e_pad=64)
+    return {k: jnp.asarray(v) for k, v in pb.asdict().items()}
+
+
+def _fused_vs_unfused(monkeypatch, **kw):
+    from equivarianttransformermpnn4quantumcomputations_tpu.models.matpes import (
+        EquiformerV2MatPES,
+    )
+
+    monkeypatch.setenv("ETQ_WIGNER", "dense")
+    rng = np.random.default_rng(0)
+    b = _matpes_batch(rng)
+    model = EquiformerV2MatPES(**ALIGNED, **kw)
+    monkeypatch.setenv("ETQ_RC_FUSED", "0")
+    params = model.init(jax.random.PRNGKey(0), b)
+
+    def energy(pos, on):
+        monkeypatch.setenv("ETQ_RC_FUSED", on)
+        bb = dict(b)
+        bb["pos"] = pos
+        return model.apply(params, bb)["energy_total"].sum()
+
+    e_f, g_f = jax.value_and_grad(energy)(b["pos"], "1")
+    e_u, g_u = jax.value_and_grad(energy)(b["pos"], "0")
+    np.testing.assert_allclose(float(e_f), float(e_u), rtol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(g_f), np.asarray(g_u), rtol=2e-4, atol=2e-5
+    )
+
+
+def test_attention_fused_parity_baseline(monkeypatch):
+    """Baseline sep-S2 attention: full fused conv-1 (+extra) and conv-2."""
+    _fused_vs_unfused(monkeypatch, gata=False)
+
+
+def test_attention_fused_parity_gata_m0(monkeypatch):
+    """GATA m0-only value path: fused m0 conv-1 + fused conv-2."""
+    _fused_vs_unfused(monkeypatch, gata=True)
+
+
+def test_attention_fused_parity_gata_full(monkeypatch):
+    """GATA with ETQ_M0_ONLY=0: full fused conv-1 with the big extra block."""
+    monkeypatch.setenv("ETQ_M0_ONLY", "0")
+    _fused_vs_unfused(monkeypatch, gata=True)
