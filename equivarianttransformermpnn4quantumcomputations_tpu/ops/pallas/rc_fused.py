@@ -274,25 +274,33 @@ def _rc_kernel_in(v_ref, x_ref, *refs, meta: RCMeta, pairs, w_shapes):
             u[r] = u[r] * rad[:, g * ca : (g + 1) * ca]
     rows = [uu.astype(cdt) for uu in u]
 
+    def rowdot(rs, w):
+        # Mosaic rejects lane-axis concats of row slices; the equivalent
+        # sum of per-row [T, ca] x [ca, out] dots (sublane-sliced weight)
+        # compiles and keeps every dot a full-width MXU contraction.
+        acc = None
+        for j, r in enumerate(rs):
+            d = jnp.dot(
+                rows[int(r)], w[j * ca : (j + 1) * ca, :],
+                preferred_element_type=jnp.float32,
+            )
+            acc = d if acc is None else acc + d
+        return acc
+
     m_rows = meta.m_rows()
     out_rows = [None] * meta.n_rows()
     wi = 0
     # m = 0 block
-    xin0 = jnp.concatenate([rows[int(r)] for r in m_rows[0]], axis=1)
     if meta.extra:
         w_ex = w_refs[wi][:]
         wi += 1
-        ex = jnp.dot(
-            xin0, w_ex, preferred_element_type=jnp.float32
-        ).astype(cdt)
+        ex = rowdot(m_rows[0], w_ex).astype(cdt)
         if meta.has_bias:
             ex = ex + b_refs[0][0, :].astype(cdt)
     if not meta.m0:
         w0 = w_refs[wi][:]
         wi += 1
-        y0 = jnp.dot(
-            xin0, w0, preferred_element_type=jnp.float32
-        ).astype(cdt)
+        y0 = rowdot(m_rows[0], w0).astype(cdt)
         if meta.has_bias:
             y0 = y0 + b_refs[-1][0, :].astype(cdt)
         cb = meta.c_msg
@@ -301,12 +309,9 @@ def _rc_kernel_in(v_ref, x_ref, *refs, meta: RCMeta, pairs, w_shapes):
         # m > 0 butterflies
         for m in range(1, meta.mmax + 1):
             rows_m = m_rows[m]
-            xin = jnp.concatenate([rows[int(r)] for r in rows_m], axis=1)
             wb = w_refs[wi][:]
             wi += 1
-            y = jnp.dot(
-                xin, wb, preferred_element_type=jnp.float32
-            ).astype(cdt)
+            y = rowdot(rows_m, wb).astype(cdt)
             for j, r in enumerate(rows_m):
                 out_rows[int(r)] = y[:, j * cb : (j + 1) * cb]
         msg = jnp.concatenate([o[:, None, :] for o in out_rows], axis=1)
@@ -345,6 +350,18 @@ def _rc_kernel_out(v_ref, *refs, meta: RCMeta, pairs, w_shapes):
     m_rows = meta.m_rows()
     u = [None] * meta.n_rows()
 
+    def rowdot(x3, rs, w):
+        # sum of per-row dots (see _rc_kernel_in.rowdot: lane-axis concat
+        # of row slices is not Mosaic-compilable)
+        acc = None
+        for j, r in enumerate(rs):
+            d = jnp.dot(
+                x3[:, int(r), :], w[j * cb : (j + 1) * cb, :],
+                preferred_element_type=jnp.float32,
+            )
+            acc = d if acc is None else acc + d
+        return acc
+
     wi = 0
     # m = 0 block: extra and msg rows feed the same output rows
     t0 = None
@@ -355,12 +372,9 @@ def _rc_kernel_out(v_ref, *refs, meta: RCMeta, pairs, w_shapes):
         t0 = jnp.dot(ex, w_ex, preferred_element_type=jnp.float32)
     if not meta.m0:
         msg = msg_ref[:]
-        xin0 = jnp.concatenate(
-            [msg[:, int(r), :] for r in m_rows[0]], axis=1
-        )
         w0 = w_refs[wi][:]
         wi += 1
-        t0m = jnp.dot(xin0, w0, preferred_element_type=jnp.float32)
+        t0m = rowdot(msg, m_rows[0], w0)
         t0 = t0m if t0 is None else t0 + t0m
     if meta.has_bias:
         t0 = t0 + b_refs[0][0, :].astype(jnp.float32)
@@ -369,12 +383,9 @@ def _rc_kernel_out(v_ref, *refs, meta: RCMeta, pairs, w_shapes):
     if not meta.m0:
         for m in range(1, meta.mmax + 1):
             rows_m = m_rows[m]
-            xin = jnp.concatenate(
-                [msg[:, int(r), :] for r in rows_m], axis=1
-            )
             wb = w_refs[wi][:]
             wi += 1
-            t = jnp.dot(xin, wb, preferred_element_type=jnp.float32)
+            t = rowdot(msg, rows_m, wb)
             for j, r in enumerate(rows_m):
                 u[int(r)] = t[:, j * ca : (j + 1) * ca]
 

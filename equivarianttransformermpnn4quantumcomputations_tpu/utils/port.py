@@ -31,6 +31,9 @@ __all__ = [
     "port_so3_linear",
     "port_so2_conv",
     "port_radial_mlp",
+    "port_norm",
+    "port_htr",
+    "port_gata_value_activation",
 ]
 
 
@@ -109,3 +112,83 @@ def port_radial_mlp(sd: dict, prefix: str = "") -> dict:
             out[f"LayerNorm_{i_ln}"] = {"scale": w, "bias": b}
             i_ln += 1
     return out
+
+
+def port_norm(sd: dict, kind: str, prefix: str = "") -> dict:
+    """Reference equivariant-norm params -> flax norm params.
+
+    Reference layer_norm.py naming:
+      * ``layer_norm`` (EquivariantLayerNormArray:38-108):
+        ``affine_weight`` [lmax+1, C], ``affine_bias`` [C]
+        -> :class:`nn.norms.EquivariantLayerNorm` {weight, bias}
+      * ``layer_norm_sh`` (…ArraySphericalHarmonics:112-201):
+        ``norm_l0.{weight,bias}`` torch LayerNorm + ``affine_weight``
+        [lmax, C] -> :class:`nn.norms.EquivariantLayerNormSH`
+        {LayerNorm_0: {scale, bias}, weight}
+      * ``rms_norm_sh`` (…RMSNormArraySphericalHarmonicsV2:265-351):
+        ``affine_weight`` [lmax+1, C], ``affine_bias`` [C]
+        -> :class:`nn.norms.EquivariantRMSNormSH` {weight, bias}
+      * ``rms_norm_sh_v1`` (…RMSNormArraySphericalHarmonics:204-262):
+        ``affine_weight`` only -> EquivariantRMSNormSH(centering=False,
+        std_balance_degrees=False) {weight}
+      * ``degree_layer_scale`` (EquivariantDegreeLayerScale:354-380):
+        ``affine_weight`` [1, lmax+1, C] -> {weight [lmax+1, C]}
+    """
+    w = _np(sd[prefix + "affine_weight"]) if prefix + "affine_weight" in sd \
+        else None
+    if kind == "layer_norm":
+        return {"weight": w, "bias": _np(sd[prefix + "affine_bias"])}
+    if kind == "layer_norm_sh":
+        return {
+            "LayerNorm_0": {
+                "scale": _np(sd[prefix + "norm_l0.weight"]),
+                "bias": _np(sd[prefix + "norm_l0.bias"]),
+            },
+            "weight": w,
+        }
+    if kind == "rms_norm_sh":
+        out = {"weight": w}
+        if prefix + "affine_bias" in sd:
+            out["bias"] = _np(sd[prefix + "affine_bias"])
+        return out
+    if kind == "rms_norm_sh_v1":
+        return {"weight": w}
+    if kind == "degree_layer_scale":
+        return {"weight": w.reshape(w.shape[-2], w.shape[-1])}
+    raise ValueError(kind)
+
+
+def _dense(sd, key):
+    out = {"kernel": _np(sd[key + ".weight"]).T}
+    if key + ".bias" in sd:
+        out["bias"] = _np(sd[key + ".bias"])
+    return out
+
+
+def port_htr(sd: dict, lmax: int, prefix: str = "") -> dict:
+    """Reference HTR params -> flax :class:`nn.gata.HTR` params.
+
+    Reference Gotennet_morethaninspired/activation.py:166-264: ``W_vq``
+    Linear (no bias), ``W_vk.{i}`` ModuleList (i = l-1), ``gamma_w``
+    Sequential(Linear, SiLU), ``gamma_t`` Sequential(Linear, SiLU, Linear,
+    SiLU).
+    """
+    out = {"W_vq": _dense(sd, prefix + "W_vq")}
+    for l in range(1, lmax + 1):
+        out[f"W_vk_{l}"] = _dense(sd, f"{prefix}W_vk.{l - 1}")
+    out["gamma_w"] = _dense(sd, prefix + "gamma_w.0")
+    out["gamma_t_1"] = _dense(sd, prefix + "gamma_t.0")
+    out["gamma_t_2"] = _dense(sd, prefix + "gamma_t.2")
+    return out
+
+
+def port_gata_value_activation(sd: dict, prefix: str = "") -> dict:
+    """Reference GATAValueActivation params -> flax
+    :class:`nn.gata.GATAValueActivation` params (activation.py:270-414:
+    ``W_rs`` Linear, ``gamma_s`` Sequential(Linear, SiLU), ``xj_proj``
+    Linear no-bias)."""
+    return {
+        "W_rs": _dense(sd, prefix + "W_rs"),
+        "gamma_s": _dense(sd, prefix + "gamma_s.0"),
+        "xj_proj": _dense(sd, prefix + "xj_proj"),
+    }
