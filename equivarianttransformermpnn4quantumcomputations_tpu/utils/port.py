@@ -192,3 +192,87 @@ def port_gata_value_activation(sd: dict, prefix: str = "") -> dict:
         "gamma_s": _dense(sd, prefix + "gamma_s.0"),
         "xj_proj": _dense(sd, prefix + "xj_proj"),
     }
+
+
+def port_ffn(sd: dict, prefix: str = "", use_grid_mlp: bool = False,
+             use_sep_s2_act: bool = True, use_gate_act: bool = False) -> dict:
+    """Reference FeedForwardNetwork params -> flax :class:`nn.ffn.FeedForward`
+    (reference transformer_block.py:339-453 / the GATA fork :373-470)."""
+    out = {
+        "so3_linear_1": port_so3_linear(sd, prefix + "so3_linear_1."),
+        "so3_linear_2": port_so3_linear(sd, prefix + "so3_linear_2."),
+    }
+    if use_grid_mlp:
+        if use_sep_s2_act:
+            out["scalar_mlp"] = _dense(sd, prefix + "scalar_mlp.0")
+        for i, j in enumerate((0, 2, 4)):
+            out[f"grid_mlp_{i}"] = _dense(sd, f"{prefix}grid_mlp.{j}")
+    elif use_gate_act or use_sep_s2_act:
+        out["gating_linear"] = _dense(sd, prefix + "gating_linear")
+    return out
+
+
+def port_graph_attention(sd: dict, lmax: int, mmax: int, prefix: str = "",
+                         gata: bool = False,
+                         use_atom_edge_embedding: bool = True,
+                         has_rad: bool = True) -> dict:
+    """Reference SO2EquivariantGraphAttention params -> flax
+    :class:`nn.attention.GraphAttention` (baseline transformer_block.py:40-336
+    and the GATA fork Gotennet_morethaninspired/transformer_block.py:50-366).
+    """
+    out = {}
+    if use_atom_edge_embedding:
+        out["Embed_0"] = {
+            "embedding": _np(sd[prefix + "source_embedding.weight"])
+        }
+        out["Embed_1"] = {
+            "embedding": _np(sd[prefix + "target_embedding.weight"])
+        }
+    conv1 = port_so2_conv(sd, prefix + "so2_conv_1.", mmax)
+    if has_rad:
+        conv1["RadialMLP_0"] = port_radial_mlp(
+            sd, prefix + "so2_conv_1.rad_func."
+        )
+    out["so2_conv_1"] = conv1
+    out["so2_conv_2"] = port_so2_conv(sd, prefix + "so2_conv_2.", mmax)
+    if prefix + "alpha_norm.weight" in sd:
+        out["alpha_norm"] = {
+            "scale": _np(sd[prefix + "alpha_norm.weight"]),
+            "bias": _np(sd[prefix + "alpha_norm.bias"]),
+        }
+    out["alpha_dot"] = _np(sd[prefix + "alpha_dot"])
+    out["proj"] = port_so3_linear(sd, prefix + "proj.")
+    if gata:
+        out["value_act"] = port_gata_value_activation(
+            sd, prefix + "value_act."
+        )
+    return out
+
+
+def port_trans_block(sd: dict, lmax: int, mmax: int, prefix: str = "",
+                     gata: bool = True, norm_type: str = "rms_norm_sh",
+                     **attn_kw) -> dict:
+    """Reference TransBlockV2 params -> flax :class:`nn.block.TransBlock`
+    (GATA fork transformer_block.py:471-680: norm_1 -> htr -> ga -> norm_2
+    -> ffn [+ ffn_shortcut])."""
+    norm_cls = {
+        "rms_norm_sh": "EquivariantRMSNormSH",
+        "layer_norm_sh": "EquivariantLayerNormSH",
+        "layer_norm": "EquivariantLayerNorm",
+    }[norm_type]
+    norm_kind = {"rms_norm_sh": "rms_norm_sh",
+                 "layer_norm_sh": "layer_norm_sh",
+                 "layer_norm": "layer_norm"}[norm_type]
+    out = {
+        f"{norm_cls}_0": port_norm(sd, norm_kind, prefix + "norm_1."),
+        f"{norm_cls}_1": port_norm(sd, norm_kind, prefix + "norm_2."),
+        "ga": port_graph_attention(
+            sd, lmax, mmax, prefix + "ga.", gata=gata, **attn_kw
+        ),
+        "ffn": port_ffn(sd, prefix + "ffn."),
+    }
+    if gata:
+        out["htr"] = port_htr(sd, lmax, prefix + "htr.")
+    if prefix + "ffn_shortcut.weight" in sd:
+        out["ffn_shortcut"] = port_so3_linear(sd, prefix + "ffn_shortcut.")
+    return out

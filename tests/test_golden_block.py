@@ -1,0 +1,460 @@
+"""GOLDEN block-level parity: the reference's ACTUAL SO2_Convolution,
+SO3_LinearV2, SO2EquivariantGraphAttention, FeedForwardNetwork, and
+TransBlockV2 (GATA fork), imported verbatim from /root/reference and run
+against this framework's flax modules with ported weights.
+
+The reference modules need three environmental shims, none of which touch
+the computation under test:
+
+* ``EquiformerV2Functions.wigner`` — the reference repo is missing the
+  ``Jd.pt`` data file its wigner.py torch.load()s at import (SURVEY §2.1);
+  we inject a module exposing ``wigner_D`` built from OUR regenerated
+  J matrices (ops/wigner_np.py, verified <1e-10 vs expm in
+  test_parity_numerics.py).  Nothing in these tests calls it — the Wigner
+  tensors are injected directly into SO3_Rotation (see below).
+* ``e3nn`` — imported at top of the reference drop.py; only used inside
+  dropout classes that TransBlockV2 never instantiates at drop rates 0.
+* ``torch_geometric`` — the reference uses torch_geometric.utils.softmax
+  for the per-target-node attention softmax; re-implemented here in plain
+  torch (scatter-max-stabilized segment softmax).
+
+Wigner injection: both sides rotate with the SAME per-edge matrices —
+ours from ops/rotation.py:compute_wigner_blocks, the reference's
+SO3_Rotation.wigner set to the block-diagonal assembly of those blocks
+(so3.py:499-505 builds exactly this layout).  This isolates the module
+semantics from the (independently verified) geometry.
+"""
+
+import importlib
+import pathlib
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+from equivarianttransformermpnn4quantumcomputations_tpu.nn.attention import (
+    GraphAttention,
+)
+from equivarianttransformermpnn4quantumcomputations_tpu.nn.block import (
+    TransBlock,
+)
+from equivarianttransformermpnn4quantumcomputations_tpu.nn.ffn import (
+    FeedForward,
+)
+from equivarianttransformermpnn4quantumcomputations_tpu.nn.so3_layers import (
+    SO2Conv,
+    SO3Linear,
+)
+from equivarianttransformermpnn4quantumcomputations_tpu.ops.irreps import (
+    layout as get_layout,
+)
+from equivarianttransformermpnn4quantumcomputations_tpu.ops.rotation import (
+    compute_wigner_blocks,
+)
+from equivarianttransformermpnn4quantumcomputations_tpu.ops.s2grid import (
+    s2grid,
+)
+from equivarianttransformermpnn4quantumcomputations_tpu.ops.wigner_np import (
+    J_matrix,
+)
+from equivarianttransformermpnn4quantumcomputations_tpu.utils.port import (
+    port_ffn,
+    port_graph_attention,
+    port_so2_conv,
+    port_so3_linear,
+    port_trans_block,
+)
+
+REF = pathlib.Path("/root/reference/models")
+
+pytestmark = pytest.mark.skipif(
+    not REF.exists(), reason="reference checkout not present"
+)
+
+
+# ── shims ───────────────────────────────────────────────────────────────────
+
+
+def _z_rot_mat(angle, l):
+    # z-rotation generator in the real SH basis (standard formula; the
+    # reference's wigner.py:31-40 implements the same matrix)
+    shape = angle.shape
+    M = angle.new_zeros((*shape, 2 * l + 1, 2 * l + 1))
+    inds = torch.arange(0, 2 * l + 1, 1)
+    reversed_inds = torch.arange(2 * l, -1, -1)
+    frequencies = torch.arange(l, -l - 1, -1, dtype=angle.dtype)
+    M[..., inds, reversed_inds] = torch.sin(frequencies * angle[..., None])
+    M[..., inds, inds] = torch.cos(frequencies * angle[..., None])
+    return M
+
+
+def _segment_softmax(src, index, num_nodes=None):
+    """torch_geometric.utils.softmax replacement (plain torch)."""
+    N = int(index.max().item()) + 1 if index.numel() else 1
+    idx = index.view(-1, *([1] * (src.dim() - 1))).expand_as(src)
+    mx = torch.full((N, *src.shape[1:]), float("-inf"), dtype=src.dtype)
+    mx = mx.scatter_reduce(0, idx, src, reduce="amax", include_self=False)
+    out = (src - mx[index]).exp()
+    den = torch.zeros((N, *src.shape[1:]), dtype=src.dtype)
+    den = den.index_add(0, index, out)
+    return out / (den[index] + 1e-16)
+
+
+@pytest.fixture(scope="module")
+def refmods():
+    # e3nn stub (drop.py imports it at module top; unused at drop rate 0)
+    e3nn = types.ModuleType("e3nn")
+    e3nn.o3 = types.ModuleType("e3nn.o3")
+    sys.modules.setdefault("e3nn", e3nn)
+    sys.modules.setdefault("e3nn.o3", e3nn.o3)
+
+    # torch_geometric stub (utils.softmax only)
+    tg = types.ModuleType("torch_geometric")
+    tg.utils = types.ModuleType("torch_geometric.utils")
+    tg.utils.softmax = _segment_softmax
+    sys.modules["torch_geometric"] = tg
+    sys.modules["torch_geometric.utils"] = tg.utils
+
+    # EquiformerV2Functions package over the reference dir, with wigner.py
+    # replaced (its Jd.pt is missing from the reference checkout)
+    pkg = types.ModuleType("EquiformerV2Functions")
+    pkg.__path__ = [str(REF / "EquiformerV2Functions")]
+    sys.modules["EquiformerV2Functions"] = pkg
+    wig = types.ModuleType("EquiformerV2Functions.wigner")
+
+    def wigner_D(l, alpha, beta, gamma):
+        J = torch.from_numpy(J_matrix(l)).to(alpha.dtype)
+        alpha, beta, gamma = torch.broadcast_tensors(alpha, beta, gamma)
+        return (
+            _z_rot_mat(alpha, l) @ J @ _z_rot_mat(beta, l) @ J
+            @ _z_rot_mat(gamma, l)
+        )
+
+    wig.wigner_D = wigner_D
+    sys.modules["EquiformerV2Functions.wigner"] = wig
+
+    nf = types.ModuleType("NewFunctions")
+    nf.__path__ = [str(REF / "NewFunctions")]
+    sys.modules["NewFunctions"] = nf
+    gt = types.ModuleType("NewFunctions.Gotennet_morethaninspired")
+    gt.__path__ = [str(REF / "NewFunctions" / "Gotennet_morethaninspired")]
+    sys.modules["NewFunctions.Gotennet_morethaninspired"] = gt
+
+    so3 = importlib.import_module("EquiformerV2Functions.so3")
+    so2 = importlib.import_module("EquiformerV2Functions.so2_ops")
+    tb = importlib.import_module(
+        "NewFunctions.Gotennet_morethaninspired.transformer_block"
+    )
+    return types.SimpleNamespace(so3=so3, so2=so2, tb=tb)
+
+
+# ── shared geometry/config ─────────────────────────────────────────────────
+
+LMAX, MMAX = 4, 2
+N, E = 12, 40
+SPHERE, HIDDEN, EDGE_C = 16, 16, 24
+HEADS, ALPHA_C, VALUE_C = 2, 8, 8
+EC_LIST = [32, 16, 16]   # edge_channels_list (last = atom emb width)
+
+
+def _graph(seed=0):
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, N, size=E).astype(np.int64)
+    dst = (src + 1 + rng.integers(0, N - 1, size=E)).astype(np.int64) % N
+    edge_vec = rng.normal(size=(E, 3)).astype(np.float32)
+    atn = rng.integers(1, 20, size=N).astype(np.int64)
+    x = rng.normal(size=(N, (LMAX + 1) ** 2, SPHERE)).astype(np.float32)
+    edge_dist = rng.normal(size=(E, EC_LIST[0])).astype(np.float32)
+    t_ij = rng.normal(size=(E, EDGE_C)).astype(np.float32)
+    rl_ij = rng.normal(size=(E, (LMAX + 1) ** 2 - 1)).astype(np.float32)
+    return rng, src, dst, edge_vec, atn, x, edge_dist, t_ij, rl_ij
+
+
+def _inject_rotation(refmods, edge_vec):
+    """Reference SO3_Rotation with OUR per-edge Wigner blocks injected."""
+    wb = compute_wigner_blocks(LMAX, jnp.asarray(edge_vec))
+    K = (LMAX + 1) ** 2
+    W = torch.zeros(edge_vec.shape[0], K, K)
+    for l, blk in enumerate(wb.blocks):
+        s = l * l
+        W[:, s : s + 2 * l + 1, s : s + 2 * l + 1] = torch.from_numpy(
+            np.asarray(blk)
+        )
+    rot = refmods.so3.SO3_Rotation(LMAX)
+    rot.device, rot.dtype = W.device, W.dtype
+    rot.wigner = W
+    rot.wigner_inv = W.transpose(1, 2).contiguous()
+    return [rot], wb
+
+
+def _close(ours, theirs, tol=1e-5):
+    np.testing.assert_allclose(
+        np.asarray(ours), theirs.detach().numpy(), rtol=tol, atol=tol
+    )
+
+
+# ── golden SO3_LinearV2 / SO2_Convolution ──────────────────────────────────
+
+
+def test_golden_so3_linear_v2(refmods):
+    rng = np.random.default_rng(1)
+    cin, cout = 16, 24
+    ref = refmods.so3.SO3_LinearV2(cin, cout, lmax=LMAX)
+    K = (LMAX + 1) ** 2
+    x = rng.normal(size=(N, K, cin)).astype(np.float32)
+    emb = refmods.so3.SO3_Embedding(0, [LMAX], cin, "cpu", torch.float32)
+    emb.set_embedding(torch.from_numpy(x))
+    with torch.no_grad():
+        golden = ref(emb).embedding
+    mod = SO3Linear(cin, cout, LMAX)
+    params = {"params": port_so3_linear(ref.state_dict())}
+    _close(mod.apply(params, jnp.asarray(x)), golden)
+
+
+@pytest.mark.parametrize("extra", [0, 24])
+def test_golden_so2_convolution(refmods, extra):
+    """The reference's real SO2_Convolution (radial path) vs flax SO2Conv."""
+    rng = np.random.default_rng(2)
+    mapping = refmods.so3.CoefficientMappingModule([LMAX], [MMAX])
+    ref = refmods.so2.SO2_Convolution(
+        SPHERE, HIDDEN, [LMAX], [MMAX], mapping,
+        internal_weights=False, edge_channels_list=list(EC_LIST),
+        extra_m0_output_channels=extra if extra else None,
+    )
+    lay = get_layout(LMAX, MMAX)
+    K_red = lay.num_coefficients
+    x = rng.normal(size=(E, K_red, SPHERE)).astype(np.float32)
+    x_edge = rng.normal(size=(E, EC_LIST[0])).astype(np.float32)
+
+    emb = refmods.so3.SO3_Embedding(0, [LMAX], SPHERE, "cpu", torch.float32)
+    emb.set_embedding(torch.from_numpy(x.copy()))
+    emb.set_lmax_mmax([LMAX], [MMAX])
+    with torch.no_grad():
+        out = ref(emb, torch.from_numpy(x_edge))
+    golden, golden_extra = (out if extra else (out, None))
+
+    mod = SO2Conv(
+        layout=lay, in_channels=SPHERE, out_channels=HIDDEN,
+        extra_m0=extra, rad_channels=tuple(EC_LIST),
+    )
+    params = {"params": port_so2_conv(ref.state_dict(), mmax=MMAX)}
+    y, y_extra = mod.apply(params, jnp.asarray(x), jnp.asarray(x_edge))
+    _close(y, golden.embedding)
+    if extra:
+        _close(y_extra, golden_extra)
+
+
+# ── golden GATA attention ──────────────────────────────────────────────────
+
+
+def _build_ref_attention(refmods, rotation, mapping, seed=3):
+    torch.manual_seed(seed)
+    return refmods.tb.SO2EquivariantGraphAttention(
+        sphere_channels=SPHERE,
+        hidden_channels=HIDDEN,
+        num_heads=HEADS,
+        attn_alpha_channels=ALPHA_C,
+        attn_value_channels=VALUE_C,
+        output_channels=SPHERE,
+        lmax_list=[LMAX],
+        mmax_list=[MMAX],
+        SO3_rotation=rotation,
+        mappingReduced=mapping,
+        SO3_grid=None,
+        max_num_elements=20,
+        edge_channels_list=list(EC_LIST),
+        edge_channels=EDGE_C,
+        alpha_drop=0.0,
+    )
+
+
+def _our_attention(**kw):
+    return GraphAttention(
+        layout_full=get_layout(LMAX, LMAX),
+        layout_red=get_layout(LMAX, MMAX),
+        grid_red=s2grid(LMAX, MMAX, 18),
+        sphere_channels=SPHERE,
+        hidden_channels=HIDDEN,
+        num_heads=HEADS,
+        attn_alpha_channels=ALPHA_C,
+        attn_value_channels=VALUE_C,
+        output_channels=SPHERE,
+        max_num_elements=20,
+        edge_channels_list=EC_LIST,
+        gata=True,
+        edge_channels=EDGE_C,
+        **kw,
+    )
+
+
+def test_golden_gata_attention(refmods):
+    """Reference SO2EquivariantGraphAttention (GATA fork, run verbatim) vs
+    GraphAttention(gata=True) with ported weights and shared Wigner."""
+    rng, src, dst, edge_vec, atn, x, edge_dist, t_ij, rl_ij = _graph()
+    mapping = refmods.so3.CoefficientMappingModule([LMAX], [MMAX])
+    rotation, wb = _inject_rotation(refmods, edge_vec)
+    ref = _build_ref_attention(refmods, rotation, mapping)
+
+    emb = refmods.so3.SO3_Embedding(0, [LMAX], SPHERE, "cpu", torch.float32)
+    emb.set_embedding(torch.from_numpy(x.copy()))
+    edge_index = torch.from_numpy(np.stack([src, dst]))
+    with torch.no_grad():
+        golden = ref(
+            emb, torch.from_numpy(atn), torch.from_numpy(edge_dist),
+            edge_index, torch.from_numpy(t_ij), torch.from_numpy(rl_ij),
+        ).embedding
+
+    mod = _our_attention()
+    params = {
+        "params": port_graph_attention(
+            ref.state_dict(), LMAX, MMAX, gata=True
+        )
+    }
+    out = mod.apply(
+        params, jnp.asarray(x), jnp.asarray(atn.astype(np.int32)),
+        jnp.asarray(edge_dist), jnp.asarray(src.astype(np.int32)),
+        jnp.asarray(dst.astype(np.int32)),
+        jnp.ones((E,), bool), wb,
+        t_ij=jnp.asarray(t_ij), rl_ij=jnp.asarray(rl_ij),
+    )
+    _close(out, golden, tol=2e-5)
+
+
+# ── golden FFN ─────────────────────────────────────────────────────────────
+
+
+class _MockGrid:
+    def __init__(self, grid, lay_full):
+        self._to = torch.from_numpy(np.asarray(grid.to_grid_mat_full))
+        self._from = torch.from_numpy(np.asarray(grid.from_grid_mat_full))
+        K = lay_full.num_coefficients
+
+        class _Map:
+            @staticmethod
+            def coefficient_idx(lmax, mmax):
+                return torch.arange(K)
+
+        self.mapping = _Map()
+
+    def get_to_grid_mat(self, device=None):
+        return self._to
+
+    def get_from_grid_mat(self, device=None):
+        return self._from
+
+
+def _mock_so3_grid():
+    grid = s2grid(LMAX, LMAX, 18)
+    return {LMAX: {LMAX: _MockGrid(grid, get_layout(LMAX, LMAX))}}, grid
+
+
+@pytest.mark.parametrize("grid_mlp", [False, True])
+def test_golden_ffn(refmods, monkeypatch, grid_mlp):
+    monkeypatch.setenv("ETQ_S2_FUSED", "0")
+    torch.manual_seed(4)
+    so3_grid, grid = _mock_so3_grid()
+    ref = refmods.tb.FeedForwardNetwork(
+        sphere_channels=SPHERE, hidden_channels=HIDDEN,
+        output_channels=SPHERE, lmax_list=[LMAX], mmax_list=[MMAX],
+        SO3_grid=so3_grid, use_grid_mlp=grid_mlp,
+    )
+    rng = np.random.default_rng(5)
+    K = (LMAX + 1) ** 2
+    x = rng.normal(size=(N, K, SPHERE)).astype(np.float32)
+    emb = refmods.so3.SO3_Embedding(0, [LMAX], SPHERE, "cpu", torch.float32)
+    emb.set_embedding(torch.from_numpy(x.copy()))
+    with torch.no_grad():
+        golden = ref(emb).embedding
+
+    mod = FeedForward(
+        sphere_channels=SPHERE, hidden_channels=HIDDEN,
+        output_channels=SPHERE, lmax=LMAX, grid_full=grid,
+        use_grid_mlp=grid_mlp,
+    )
+    params = {
+        "params": port_ffn(ref.state_dict(), use_grid_mlp=grid_mlp)
+    }
+    _close(mod.apply(params, jnp.asarray(x)), golden, tol=2e-5)
+
+
+# ── golden TransBlockV2 ────────────────────────────────────────────────────
+
+
+def test_golden_trans_block_v2(refmods, monkeypatch):
+    """Full reference TransBlockV2 (norm -> HTR -> GATA attention ->
+    residual -> norm -> FFN -> residual), run verbatim, vs TransBlock."""
+    monkeypatch.setenv("ETQ_S2_FUSED", "0")
+    rng, src, dst, edge_vec, atn, x, edge_dist, t_ij, rl_ij = _graph(7)
+    mapping = refmods.so3.CoefficientMappingModule([LMAX], [MMAX])
+    rotation, wb = _inject_rotation(refmods, edge_vec)
+    so3_grid, grid_full = _mock_so3_grid()
+    torch.manual_seed(8)
+    ref = refmods.tb.TransBlockV2(
+        sphere_channels=SPHERE,
+        attn_hidden_channels=HIDDEN,
+        num_heads=HEADS,
+        attn_alpha_channels=ALPHA_C,
+        attn_value_channels=VALUE_C,
+        ffn_hidden_channels=HIDDEN,
+        output_channels=SPHERE,
+        lmax_list=[LMAX],
+        mmax_list=[MMAX],
+        SO3_rotation=rotation,
+        mappingReduced=mapping,
+        SO3_grid=so3_grid,
+        max_num_elements=20,
+        edge_channels_list=list(EC_LIST),
+        edge_channels=EDGE_C,
+    )
+    # randomize the norm affines away from ones/zeros
+    with torch.no_grad():
+        g = torch.Generator().manual_seed(9)
+        for name, p in ref.named_parameters():
+            if "norm_1" in name or "norm_2" in name:
+                p.add_(torch.rand(p.shape, generator=g) * 0.3 - 0.15)
+
+    emb = refmods.so3.SO3_Embedding(0, [LMAX], SPHERE, "cpu", torch.float32)
+    emb.set_embedding(torch.from_numpy(x.copy()))
+    edge_index = torch.from_numpy(np.stack([src, dst]))
+    with torch.no_grad():
+        golden, golden_t = ref(
+            emb, torch.from_numpy(atn), torch.from_numpy(edge_dist),
+            edge_index, None, torch.from_numpy(t_ij.copy()),
+            torch.from_numpy(rl_ij),
+        )
+
+    mod = TransBlock(
+        layout_full=get_layout(LMAX, LMAX),
+        layout_red=get_layout(LMAX, MMAX),
+        grid_red=s2grid(LMAX, MMAX, 18),
+        grid_full=grid_full,
+        sphere_channels=SPHERE,
+        attn_hidden_channels=HIDDEN,
+        num_heads=HEADS,
+        attn_alpha_channels=ALPHA_C,
+        attn_value_channels=VALUE_C,
+        ffn_hidden_channels=HIDDEN,
+        output_channels=SPHERE,
+        max_num_elements=20,
+        edge_channels_list=EC_LIST,
+        gata=True,
+        edge_channels=EDGE_C,
+    )
+    params = {
+        "params": port_trans_block(ref.state_dict(), LMAX, MMAX, gata=True)
+    }
+    out, t_out = mod.apply(
+        params, jnp.asarray(x), jnp.asarray(atn.astype(np.int32)),
+        jnp.asarray(edge_dist), jnp.asarray(src.astype(np.int32)),
+        jnp.asarray(dst.astype(np.int32)), jnp.ones((E,), bool), wb,
+        jnp.zeros((N,), jnp.int32),
+        t_ij=jnp.asarray(t_ij), rl_ij=jnp.asarray(rl_ij),
+    )
+    _close(t_out, golden_t, tol=2e-5)
+    _close(out, golden.embedding, tol=2e-5)
