@@ -80,6 +80,8 @@ class PaddedLoader:
         drop_last: bool = True,
         prefetch: int = 2,
         uniform: bool = False,
+        num_shards: int = 1,
+        shard_id: int = 0,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -95,10 +97,15 @@ class PaddedLoader:
         self.drop_last = drop_last
         self.prefetch = prefetch
         self.uniform = uniform
+        # multi-host: each process iterates a strided shard of the (shared-
+        # seed) shuffled index list — DistributedSampler semantics (reference
+        # train_oc20v2_parallel.py:334-349; parallel/multihost.py:host_shard)
+        self.num_shards = num_shards
+        self.shard_id = shard_id
         self.epoch = 0
 
     def __len__(self):
-        n = len(self.indices)
+        n = len(range(self.shard_id, len(self.indices), self.num_shards))
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def set_epoch(self, epoch: int):
@@ -108,6 +115,8 @@ class PaddedLoader:
         idx = self.indices.copy()
         if self.shuffle:
             np.random.default_rng(self.seed + self.epoch).shuffle(idx)
+        if self.num_shards > 1:
+            idx = idx[self.shard_id :: self.num_shards]
         nb = len(self)
         for b in range(nb):
             yield idx[b * self.batch_size : (b + 1) * self.batch_size]

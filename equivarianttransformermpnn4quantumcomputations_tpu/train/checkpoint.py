@@ -42,9 +42,13 @@ def _restore_pytree(path: str, target):
 
 class CheckpointManager:
     def __init__(self, run_dir: str, config: Mapping[str, Any] | None = None,
-                 keep_periodic: int = 2):
+                 keep_periodic: int = 2, primary: bool = True):
+        # multi-host rank-0 discipline: only the primary process writes
+        # (reference train_oc20v2_parallel.py:513-535); restore works on all.
+        self.primary = primary
         self.run_dir = run_dir
-        os.makedirs(run_dir, exist_ok=True)
+        if primary:
+            os.makedirs(run_dir, exist_ok=True)
         self.keep_periodic = keep_periodic
         self.config = dict(config or {})
 
@@ -53,6 +57,8 @@ class CheckpointManager:
 
     def save(self, name: str, state, extra: Mapping[str, Any] | None = None):
         """Save a TrainState + json-serializable metadata under ``name``."""
+        if not self.primary:
+            return
         path = os.path.join(self.run_dir, name)
         if os.path.exists(path):
             shutil.rmtree(path)

@@ -55,7 +55,37 @@ def main(argv=None):
         "--mixed-precision", action="store_true",
         help="bf16 compute, f32 master params/norms",
     )
+    parser.add_argument(
+        "--multihost", action="store_true",
+        help="initialize jax.distributed from RANK/WORLD_SIZE/MASTER_ADDR "
+             "env vars (no-op single-process); shard data per host, write "
+             "logs/checkpoints on rank 0 only "
+             "(reference train_oc20v2_parallel.py:34-54,334-349,513-535)",
+    )
+    parser.add_argument(
+        "--mesh", default=None, metavar="data=N[,model=M][,sp]",
+        help="train with a sharded step over a device mesh: 'data=4' is "
+             "4-way DP (N microbatches/step), 'data=4,model=2' adds "
+             "Megatron-style TP (+EP for MoE); ',sp' shards the edge axis. "
+             "Omitted = single-device step.",
+    )
     args = parser.parse_args(argv)
+
+    from ..parallel import multihost
+
+    if args.multihost:
+        multihost.initialize_from_env()
+    primary = multihost.is_primary() if args.multihost else True
+
+    mesh_spec = None
+    if args.mesh:
+        mesh_spec = {"data": 1, "model": 1, "sp": False}
+        for part in args.mesh.split(","):
+            if part.strip() == "sp":
+                mesh_spec["sp"] = True
+            else:
+                k, v = part.split("=")
+                mesh_spec[k.strip()] = int(v)
 
     from ..configs import matpes as mp_cfg
 
@@ -110,11 +140,15 @@ def main(argv=None):
         train_ds, cfg["cutoff"], cfg["max_neighbors"], cfg["batch_size"],
         uniform=uniform,
     )
-    mk = lambda ds, shuf: PaddedLoader(
+    n_shards = multihost.process_count() if args.multihost else 1
+    shard_id = multihost.process_index() if args.multihost else 0
+    mk = lambda ds, shuf, sharded=False: PaddedLoader(
         ds, cfg["batch_size"], cfg["cutoff"], cfg["max_neighbors"],
         n_pad, e_pad, shuffle=shuf, seed=cfg["seed"], uniform=uniform,
+        num_shards=n_shards if sharded else 1,
+        shard_id=shard_id if sharded else 0,
     )
-    train_loader, val_loader = mk(train_ds, True), mk(val_ds, False)
+    train_loader, val_loader = mk(train_ds, True, sharded=True), mk(val_ds, False)
 
     model = EquiformerV2MatPES(
         num_layers=cfg["num_layers"],
@@ -157,26 +191,66 @@ def main(argv=None):
     fb = {k: jnp.asarray(v) for k, v in first.asdict().items()}
     params = model.init(rng, fb)
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
-    print(f"model params: {n_params/1e6:.2f}M  pads: n={n_pad} e={e_pad}")
+    if primary:
+        print(f"model params: {n_params/1e6:.2f}M  pads: n={n_pad} e={e_pad}")
 
     state = create_train_state(params, tx)
-    ckpt = CheckpointManager(cfg["run_dir"], {**cfg, **stats})
+    ckpt = CheckpointManager(cfg["run_dir"], {**cfg, **stats}, primary=primary)
     if args.checkpoint:
         state, meta = ckpt.restore(args.checkpoint, state)
         print(f"resumed from {args.checkpoint}: epoch {meta.get('epoch')}")
-    logger = RunLogger(cfg["run_dir"], cfg, use_wandb=cfg.get("use_wandb", False))
-    latest = {"state": state}
-    install_sigterm_checkpoint(lambda: latest["state"], ckpt)
-
-    step_fn = jax.jit(
-        make_matpes_train_step(
-            model, tx, cfg["w_energy"], cfg["w_force"],
-            cfg["w_stress"] if cfg.get("regress_stress") else 0.0,
-            cfg["ema_decay"],
-            mixed_precision=args.mixed_precision,
-        ),
-        donate_argnums=(0,),
+    logger = RunLogger(
+        cfg["run_dir"], cfg, use_wandb=cfg.get("use_wandb", False),
+        primary=primary,
     )
+    latest = {"state": state}
+    if primary:
+        install_sigterm_checkpoint(lambda: latest["state"], ckpt)
+
+    # ── step function: single-device | sharded mesh (--mesh) ──────────────
+    n_micro = 1
+    batch_sh = None
+    if mesh_spec is not None:
+        from ..parallel.data_parallel import stack_microbatches
+        from ..parallel.sharding import (
+            batch_shardings,
+            make_composite_mesh,
+            make_composite_matpes_step,
+            state_shardings,
+        )
+
+        mesh = make_composite_mesh(
+            mesh_spec["data"] * mesh_spec["model"],
+            model_parallel=mesh_spec["model"],
+        )
+        n_micro = mesh_spec["data"]
+        first_np = {k: np.asarray(v) for k, v in first.asdict().items()}
+        stacked_example = stack_microbatches([first_np] * n_micro)
+        state_shape = jax.eval_shape(lambda s: s, state)
+        step_fn = make_composite_matpes_step(
+            model, tx, mesh, state_shape, stacked_example,
+            cfg["w_energy"], cfg["w_force"],
+            cfg["w_stress"] if cfg.get("regress_stress") else 0.0,
+            sp=mesh_spec["sp"], ema_decay=cfg["ema_decay"],
+        )
+        state = jax.device_put(state, state_shardings(mesh, state_shape))
+        batch_sh = batch_shardings(mesh, stacked_example, sp=mesh_spec["sp"])
+        if primary:
+            print(
+                f"mesh step: data={mesh_spec['data']} "
+                f"model={mesh_spec['model']} sp={mesh_spec['sp']} "
+                f"({n_micro} microbatches/step)"
+            )
+    else:
+        step_fn = jax.jit(
+            make_matpes_train_step(
+                model, tx, cfg["w_energy"], cfg["w_force"],
+                cfg["w_stress"] if cfg.get("regress_stress") else 0.0,
+                cfg["ema_decay"],
+                mixed_precision=args.mixed_precision,
+            ),
+            donate_argnums=(0,),
+        )
 
     best_val = np.inf
     step_count = 0
@@ -185,8 +259,35 @@ def main(argv=None):
         train_loader.set_epoch(epoch)
         t0 = time.time()
         losses = []
+        micro_buf = []
+        n_micro_local = max(n_micro // n_shards, 1)
         for pb in train_loader:
-            batch = {k: jnp.asarray(v) for k, v in pb.asdict().items()}
+            if mesh_spec is not None:
+                micro_buf.append(
+                    {k: np.asarray(v) for k, v in pb.asdict().items()}
+                )
+                if len(micro_buf) < n_micro_local:
+                    continue
+                from ..parallel.data_parallel import stack_microbatches
+
+                stacked = stack_microbatches(micro_buf)
+                micro_buf = []
+                if n_shards > 1:
+                    # every host contributes its local microbatches to the
+                    # globally-sharded [n_micro, ...] arrays
+                    batch = {
+                        k: jax.make_array_from_process_local_data(
+                            batch_sh[k], v
+                        )
+                        for k, v in stacked.items()
+                    }
+                else:
+                    batch = {
+                        k: jax.device_put(v, batch_sh[k])
+                        for k, v in stacked.items()
+                    }
+            else:
+                batch = {k: jnp.asarray(v) for k, v in pb.asdict().items()}
             rng, sub = jax.random.split(rng)
             state, metrics = step_fn(state, batch, sub)
             loss = float(metrics["loss"])
@@ -209,11 +310,12 @@ def main(argv=None):
             model, state.ema_params, val_loader, stats["energy_std"]
         )
         dt = time.time() - t0
-        print(
-            f"epoch {epoch}: loss={np.mean(losses):.4f} "
-            f"E={e_mae:.1f} meV/atom F={f_mae:.1f} meV/A "
-            f"nan_skipped={nan_batches} ({dt:.1f}s)"
-        )
+        if primary:
+            print(
+                f"epoch {epoch}: loss={np.mean(losses):.4f} "
+                f"E={e_mae:.1f} meV/atom F={f_mae:.1f} meV/A "
+                f"nan_skipped={nan_batches} ({dt:.1f}s)"
+            )
         logger.log_epoch(
             epoch,
             {

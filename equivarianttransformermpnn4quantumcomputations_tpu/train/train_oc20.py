@@ -90,7 +90,21 @@ def main(argv=None):
     parser.add_argument("--epochs", type=int, default=None)
     parser.add_argument("--run-dir", default=None)
     parser.add_argument("--data-parallel", action="store_true")
+    parser.add_argument(
+        "--multihost", action="store_true",
+        help="jax.distributed from RANK/WORLD_SIZE/MASTER_ADDR env (no-op "
+             "single-process); per-host data shards, rank-0-only writes — "
+             "the reference DDP contract (train_oc20v2_parallel.py:34-54)",
+    )
     args = parser.parse_args(argv)
+
+    from ..parallel import multihost
+
+    if args.multihost:
+        multihost.initialize_from_env()
+    primary = multihost.is_primary() if args.multihost else True
+    n_shards = multihost.process_count() if args.multihost else 1
+    shard_id = multihost.process_index() if args.multihost else 0
 
     from ..configs import oc20 as oc_cfg
 
@@ -143,6 +157,7 @@ def main(argv=None):
     train_loader = PaddedLoader(
         train_ds, cfg["batch_size"], cfg["cutoff"], cfg["max_neighbors"],
         n_pad, e_pad, shuffle=True, seed=cfg["seed"],
+        num_shards=n_shards, shard_id=shard_id,
     )
     val_loader = PaddedLoader(
         val_ds, cfg["batch_size"], cfg["cutoff"], cfg["max_neighbors"],
@@ -162,13 +177,14 @@ def main(argv=None):
     fb = {k: jnp.asarray(v) for k, v in first.asdict().items()}
     params = model.init(rng, fb)
     state = create_train_state(params, tx)
-    ckpt = CheckpointManager(cfg["run_dir"], cfg)
+    ckpt = CheckpointManager(cfg["run_dir"], cfg, primary=primary)
     if args.checkpoint:
         state, meta = ckpt.restore(args.checkpoint, state)
         print(f"resumed: epoch {meta.get('epoch')}")
-    logger = RunLogger(cfg["run_dir"], cfg)
+    logger = RunLogger(cfg["run_dir"], cfg, primary=primary)
     latest = {"state": state}
-    install_sigterm_checkpoint(lambda: latest["state"], ckpt)
+    if primary:
+        install_sigterm_checkpoint(lambda: latest["state"], ckpt)
 
     def step_fn(state: TrainState, batch, drop_rng):
         def loss_fn(p):

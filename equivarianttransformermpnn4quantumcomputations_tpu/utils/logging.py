@@ -26,21 +26,27 @@ class RunLogger:
         use_wandb: bool = False,
         wandb_project: str | None = None,
         wandb_run_id: str | None = None,
+        primary: bool = True,
     ):
+        # multi-host rank-0 discipline (reference train_oc20v2_parallel.py:
+        # 513-535 logs on rank 0 only): non-primary processes keep the full
+        # API but write nothing.
+        self.primary = primary
         self.run_dir = run_dir
-        os.makedirs(run_dir, exist_ok=True)
+        if primary:
+            os.makedirs(run_dir, exist_ok=True)
         self.t0 = time.time()
         self._csv_path = os.path.join(run_dir, "losses.csv")
         self._csv_file = None
         self._csv_writer = None
         self._metrics: dict[str, Any] = {}
 
-        if config is not None:
+        if config is not None and primary:
             with open(os.path.join(run_dir, "config.json"), "w") as f:
                 json.dump(dict(config), f, indent=2, default=str)
 
         self.wandb = None
-        if use_wandb:
+        if use_wandb and primary:
             try:
                 import wandb
 
@@ -59,6 +65,8 @@ class RunLogger:
             self.wandb.log(dict(scalars), step=step)
 
     def log_epoch(self, epoch: int, scalars: Mapping[str, float]):
+        if not self.primary:
+            return
         row = {"epoch": epoch, **{k: float(v) for k, v in scalars.items()}}
         if self._csv_writer is None:
             exists = os.path.exists(self._csv_path)
@@ -80,6 +88,8 @@ class RunLogger:
         train_MatPES_GATAWandB.py:477-482).  No-op without wandb; always
         records the pointer in metrics.json so the artifact trail exists in
         file-only runs too."""
+        if not self.primary:
+            return
         self._metrics.setdefault("model_artifacts", []).append(
             {"name": name, "path": path, "description": description}
         )
@@ -102,6 +112,8 @@ class RunLogger:
         self._metrics.update(kwargs)
 
     def finalize(self):
+        if not self.primary:
+            return
         self._metrics["wall_time_sec"] = time.time() - self.t0
         with open(os.path.join(self.run_dir, "metrics.json"), "w") as f:
             json.dump(self._metrics, f, indent=2, default=str)
