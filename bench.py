@@ -1,16 +1,28 @@
-"""Benchmark: flagship MatPES GATA-V2 training step throughput on one chip.
+"""Benchmark: training-step throughput on one chip, three workloads.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line.  Primary metric = the flagship MatPES GATA-V2 step
+(graphs/sec/chip); a ``workloads`` dict adds the QM9 and OC20 S2EF
+reference configs (SURVEY §0 workload table) each with graphs/s, semantic
+GFLOPs/step, and MFU.
+
+FLOPs accounting: the semantic FLOPs of a step are counted from an
+UNOPTIMIZED pure-XLA lowering (`jax.jit(...).lower(...).cost_analysis()`)
+traced with the Pallas kernels disabled (ETQ_RC_FUSED=0, ETQ_WIGNER=
+factored, ETQ_S2_FUSED=0) — XLA's compiled-cost analysis cannot see FLOPs
+inside pallas custom calls, which made kernel-heavy steps look artificially
+low-MFU.  The timed step still runs with the production kernel config.
 
 The reference repo records no throughput numbers anywhere (BASELINE.md) —
-``vs_baseline`` is computed against a fixed nominal anchor of 25 graphs/sec
-for the reference PyTorch trainer on its actual hardware (single A100,
-models/Run_model_MatPESnota100_continue.sh), estimated from the model size
-(~10M params @ 6 layers, lmax4/mmax2, ~30-atom cells, autograd forces) — so
-the number is comparable across rounds.
+``vs_baseline`` is computed against a fixed nominal 25 graphs/sec anchor
+for the reference PyTorch MatPES trainer on its actual hardware (single
+A100, models/Run_model_MatPESnota100_continue.sh), estimated from model
+size; it is a round-over-round comparator, NOT a measured baseline (the
+grounded numbers are graphs/s and MFU).
 """
 
+import contextlib
 import json
+import os
 import time
 
 import numpy as np
@@ -22,10 +34,8 @@ REFERENCE_ANCHOR_GRAPHS_PER_SEC = 25.0
 V5E_PEAK_FLOPS_BF16 = 197e12
 V5E_PEAK_FLOPS_F32 = 98.5e12
 
-# benchmark shape: realistic MatPES training batch on one v5e chip (16 GB HBM;
-# grad-of-grad force training at grid_resolution=18 bounds the batch)
-import os
-
+# flagship benchmark shape: realistic MatPES training batch on one v5e chip
+# (16 GB HBM; grad-of-grad force training at grid_resolution=18 bounds it)
 N_GRAPHS = int(os.environ.get("ETQ_BENCH_GRAPHS", 8))
 ATOMS_PER_GRAPH = int(os.environ.get("ETQ_BENCH_ATOMS", 30))
 N_PAD = int(os.environ.get("ETQ_BENCH_NPAD", 256))
@@ -33,20 +43,70 @@ E_PAD = int(os.environ.get("ETQ_BENCH_EPAD", 5120))
 STEPS = int(os.environ.get("ETQ_BENCH_STEPS", 10))
 # bf16 compute (f32 master params + norms) is the TPU-native design point
 BF16 = os.environ.get("ETQ_BENCH_BF16", "1") == "1"
-# with the fused S2 kernel the per-block residuals are coefficient-sized, so
-# rematerialization is unnecessary at the default shape (measured: 24.2 g/s
-# without remat vs 21.3 with); enable it for larger batches.
 REMAT = os.environ.get("ETQ_BENCH_REMAT", "0") == "1"
-# scan_layers works with the fused kernel (round 2 fix, PERF.md) but costs
-# ~25% throughput vs unrolled; the bench unrolls for peak numbers.
-# ETQ_BENCH_SCAN=1 measures the fast-compile scan path.
+# flagship unrolls (peak; 30+ min first compile); QM9/OC20 use
+# scan_layers=True (fast compile) — their numbers are scan-path numbers.
 SCAN = os.environ.get("ETQ_BENCH_SCAN", "0") == "1"
-# graph-uniform blocking: block-diagonal segment ops, one-hot FLOPs linear in
-# batch size (collate(uniform=True) layout)
 UNIFORM = os.environ.get("ETQ_BENCH_UNIFORM", "1") == "1"
+# comma list: any of matpes,qm9,oc20
+WORKLOADS = os.environ.get("ETQ_BENCH_WORKLOADS", "matpes,qm9,oc20")
 
 
-def main():
+@contextlib.contextmanager
+def _envvars(**kv):
+    old = {k: os.environ.get(k) for k in kv}
+    os.environ.update({k: str(v) for k, v in kv.items()})
+    try:
+        yield
+    finally:
+        for k, v in old.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+
+
+def _semantic_flops(raw_step, *args):
+    """FLOPs/step from an unoptimized pure-XLA lowering (no compile)."""
+    import jax
+
+    try:
+        with _envvars(ETQ_RC_FUSED="0", ETQ_WIGNER="factored",
+                      ETQ_S2_FUSED="0"):
+            cost = jax.jit(raw_step).lower(*args).cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0)) or None
+    except Exception:
+        return None
+
+
+def _time_step(step, state, batch, key, steps=STEPS):
+    import jax
+
+    state, metrics = step(state, batch, key)  # compile + warmup
+    jax.block_until_ready(metrics["loss"])
+    t0 = time.perf_counter()
+    for i in range(steps):
+        state, metrics = step(state, batch, jax.random.fold_in(key, i))
+    jax.block_until_ready(metrics["loss"])
+    return time.perf_counter() - t0
+
+
+def _result(n_graphs, steps, dt, flops):
+    out = {
+        "graphs_per_sec": round(n_graphs * steps / dt, 2),
+        "ms_per_step": round(dt / steps * 1000, 1),
+    }
+    if flops:
+        peak = V5E_PEAK_FLOPS_BF16 if BF16 else V5E_PEAK_FLOPS_F32
+        out["gflops_per_step"] = round(flops / 1e9, 2)
+        out["mfu"] = round(flops * steps / dt / peak, 4)
+    return out
+
+
+def bench_matpes():
+    """Flagship: MatPES GATA-V2 (GATAV2 config), autograd-force training."""
     import jax
     import jax.numpy as jnp
 
@@ -63,80 +123,170 @@ def main():
         make_optimizer,
     )
 
-    model = EquiformerV2MatPES(  # reference MatPES GATA config (GATAV2)
-        num_layers=6,
-        sphere_channels=128,
-        attn_hidden_channels=128,
-        num_heads=8,
-        attn_alpha_channels=32,
-        attn_value_channels=16,
-        ffn_hidden_channels=512,
-        lmax=4,
-        mmax=2,
-        grid_resolution=18,
-        edge_channels=128,
-        num_rbf=600,
-        max_num_elements=100,
-        gata=True,
-        alpha_drop=0.0,
-        drop_path_rate=0.0,
-        scan_layers=SCAN,
-        compute_dtype="bfloat16" if BF16 else "float32",
-        remat=REMAT,
+    model = EquiformerV2MatPES(
+        num_layers=6, sphere_channels=128, attn_hidden_channels=128,
+        num_heads=8, attn_alpha_channels=32, attn_value_channels=16,
+        ffn_hidden_channels=512, lmax=4, mmax=2, grid_resolution=18,
+        edge_channels=128, num_rbf=600, max_num_elements=100, gata=True,
+        alpha_drop=0.0, drop_path_rate=0.0, scan_layers=SCAN,
+        compute_dtype="bfloat16" if BF16 else "float32", remat=REMAT,
         uniform_blocks=UNIFORM,
     )
-
     rng = np.random.default_rng(0)
     raw = _synthetic_batch(
         rng, N_GRAPHS, ATOMS_PER_GRAPH, N_PAD, E_PAD, max_neighbors=20,
         uniform=UNIFORM,
     )
     batch = {k: jnp.asarray(v) for k, v in raw.items()}
-
     params = model.init(jax.random.PRNGKey(0), batch)
     tx = make_optimizer(warmup_cosine(2e-4, 100, 10000), weight_decay=1e-3)
     state = create_train_state(params, tx)
-    step = jax.jit(
-        make_matpes_train_step(model, tx, mixed_precision=BF16),
-        donate_argnums=(0,),
+    raw_step = make_matpes_train_step(model, tx, mixed_precision=BF16)
+    key = jax.random.PRNGKey(1)
+    flops = _semantic_flops(raw_step, state, batch, key)
+    step = jax.jit(raw_step, donate_argnums=(0,))
+    dt = _time_step(step, state, batch, key)
+    return _result(N_GRAPHS, STEPS, dt, flops)
+
+
+def bench_qm9():
+    """QM9 reference config (8 layers, lmax4/mmax2, 12 heads), batch 48 x
+    18 atoms, energy-only training (PERF.md QM9 workload)."""
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _synthetic_batch
+    from equivarianttransformermpnn4quantumcomputations_tpu.models.qm9 import (
+        EquiformerV2QM9,
+    )
+    from equivarianttransformermpnn4quantumcomputations_tpu.train.schedules import (
+        warmup_cosine,
+    )
+    from equivarianttransformermpnn4quantumcomputations_tpu.train.trainer import (
+        create_train_state,
+        make_qm9_train_step,
+        make_optimizer,
     )
 
-    # hardware-grounded FLOPs/step from the optimized HLO (XLA cost model) —
-    # the MFU numerator; denominator = v5e peak (see constants above)
-    flops_per_step = None
-    try:
-        lowered = step.lower(state, batch, jax.random.PRNGKey(1))
-        cost = lowered.compile().cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        flops_per_step = float(cost.get("flops", 0.0)) or None
-    except Exception:
-        pass
+    B, atoms = 48, 18
+    model = EquiformerV2QM9(
+        alpha_drop=0.0, drop_path_rate=0.0, scan_layers=True,
+        compute_dtype="bfloat16" if BF16 else "float32",
+        uniform_blocks=True,
+    )
+    rng = np.random.default_rng(0)
+    raw = _synthetic_batch(
+        rng, B, atoms, B * 20, B * 320, max_neighbors=16, uniform=True
+    )
+    raw["atomic_numbers"] = np.minimum(raw["atomic_numbers"], 9)  # QM9 Z<10
+    raw["y"] = rng.normal(size=(B, 12)).astype(np.float32)
+    batch = {k: jnp.asarray(v) for k, v in raw.items()}
+    params = model.init(jax.random.PRNGKey(0), batch)
+    tx = make_optimizer(warmup_cosine(5e-4, 100, 10000), weight_decay=5e-3)
+    state = create_train_state(params, tx)
+    raw_step = make_qm9_train_step(model, tx, mixed_precision=BF16)
+    key = jax.random.PRNGKey(1)
+    flops = _semantic_flops(raw_step, state, batch, key)
+    step = jax.jit(raw_step, donate_argnums=(0,))
+    dt = _time_step(step, state, batch, key)
+    return _result(B, STEPS, dt, flops)
+
+
+def bench_oc20():
+    """OC20 S2EF reference config (12 layers, lmax6/mmax2, explicit force
+    head), 4 graphs x 72 atoms @ cutoff 12."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from __graft_entry__ import _synthetic_batch
+    from equivarianttransformermpnn4quantumcomputations_tpu.models.oc20 import (
+        EquiformerV2OC20,
+    )
+    from equivarianttransformermpnn4quantumcomputations_tpu.train.schedules import (
+        warmup_cosine,
+    )
+    from equivarianttransformermpnn4quantumcomputations_tpu.train.trainer import (
+        TrainState,
+        cast_params,
+        create_train_state,
+        ema_update,
+        make_optimizer,
+        oc20_loss,
+    )
+
+    B, atoms = 4, 72
+    model = EquiformerV2OC20(
+        alpha_drop=0.0, drop_path_rate=0.0, scan_layers=True,
+        compute_dtype="bfloat16" if BF16 else "float32",
+        uniform_blocks=True,
+    )
+    rng = np.random.default_rng(0)
+    raw = _synthetic_batch(
+        rng, B, atoms, B * 80, B * 1600, max_neighbors=20, uniform=True
+    )
+    batch = {k: jnp.asarray(v) for k, v in raw.items()}
+    params = model.init(jax.random.PRNGKey(0), batch)
+    tx = make_optimizer(warmup_cosine(4e-4, 100, 10000), weight_decay=1e-3)
+    state = create_train_state(params, tx)
+
+    def raw_step(state, batch, drop_rng):
+        def loss_fn(p):
+            if BF16:
+                import jax.numpy as jnp  # noqa: F811
+
+                p = cast_params(p, jnp.bfloat16)
+            outs = model.apply(
+                p, batch, deterministic=False, rngs={"dropout": drop_rng}
+            )
+            return oc20_loss(
+                outs["energy"].astype(jnp.float32), batch["energy"],
+                outs["forces"].astype(jnp.float32), batch["forces"],
+                batch["node_mask"],
+            )
+
+        import jax as _jax
+
+        (loss, metrics), grads = _jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            step=state.step + 1, params=params, opt_state=opt_state,
+            ema_params=ema_update(state.ema_params, params, 0.999),
+        )
+        metrics = dict(metrics)
+        metrics["loss"] = loss
+        return new_state, metrics
 
     key = jax.random.PRNGKey(1)
-    # compile + warmup
-    state, metrics = step(state, batch, key)
-    jax.block_until_ready(metrics["loss"])
-    t0 = time.perf_counter()
-    for i in range(STEPS):
-        state, metrics = step(state, batch, jax.random.fold_in(key, i))
-    jax.block_until_ready(metrics["loss"])
-    dt = time.perf_counter() - t0
+    flops = _semantic_flops(raw_step, state, batch, key)
+    step = jax.jit(raw_step, donate_argnums=(0,))
+    dt = _time_step(step, state, batch, key)
+    return _result(B, STEPS, dt, flops)
 
-    graphs_per_sec = N_GRAPHS * STEPS / dt
+
+def main():
+    wanted = [w.strip() for w in WORKLOADS.split(",") if w.strip()]
+    fns = {"matpes": bench_matpes, "qm9": bench_qm9, "oc20": bench_oc20}
+    results = {}
+    for w in wanted:
+        try:
+            results[w] = fns[w]()
+        except Exception as e:  # keep the primary line emitting
+            results[w] = {"error": f"{type(e).__name__}: {e}"[:200]}
+
+    flag = results.get("matpes", {})
+    gps = flag.get("graphs_per_sec", 0.0)
     out = {
         "metric": "matpes_gata_train_graphs_per_sec_per_chip",
-        "value": round(graphs_per_sec, 2),
+        "value": gps,
         "unit": "graphs/sec/chip",
-        "vs_baseline": round(
-            graphs_per_sec / REFERENCE_ANCHOR_GRAPHS_PER_SEC, 3
-        ),
+        "vs_baseline": round(gps / REFERENCE_ANCHOR_GRAPHS_PER_SEC, 3),
+        "mfu": flag.get("mfu"),
+        "workloads": results,
     }
-    if flops_per_step:
-        peak = V5E_PEAK_FLOPS_BF16 if BF16 else V5E_PEAK_FLOPS_F32
-        achieved = flops_per_step * STEPS / dt
-        out["flops_per_step"] = round(flops_per_step / 1e9, 2)  # GFLOP
-        out["mfu"] = round(achieved / peak, 4)
     print(json.dumps(out))
 
 

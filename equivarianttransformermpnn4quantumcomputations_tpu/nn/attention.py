@@ -173,7 +173,7 @@ class GraphAttention(nn.Module):
 
         rc1 = so2conv_fusable(
             wigner, 2 * self.sphere_channels, self.hidden_channels,
-            extra_m0, m0=m0_only,
+            extra_m0, m0=m0_only, site="conv1",
         )
         # ── SO(2) conv 1 with extra m=0 channels ──────────────────────────
         if not rc1:
@@ -283,7 +283,7 @@ class GraphAttention(nn.Module):
         # mixes the coefficient axis, so the two commute elementwise.
         rc2 = so2conv_fusable(
             wigner, self.hidden_channels,
-            self.num_heads * self.attn_value_channels, 0,
+            self.num_heads * self.attn_value_channels, 0, site="conv2",
         )
         msg, _ = SO2Conv(
             layout=self.layout_red,

@@ -192,27 +192,40 @@ def rc_fusable(meta: RCMeta) -> bool:
     return meta.c_rot % 128 == 0 and meta.c_msg % 128 == 0
 
 
-def rc_enabled() -> bool:
+def rc_enabled(site: str = "") -> bool:
     """Use the fused rotate-conv path whenever the Wigner representation is
     dense (ETQ_WIGNER=dense — the TPU default) and the channel widths align.
-    ETQ_RC_FUSED=0 opts out (falls back to pairs-rotate + XLA GEMMs)."""
+
+    ETQ_RC_FUSED: "1"/"" = all sites, "0" = none, or a comma list of sites
+    ("conv1", "conv2") to fuse selectively (A/B profiling).
+
+    Default OFF pending a kernel redesign: round-3 measurement showed the
+    fused path REGRESSES flagship training 43.0 -> 36.0 g/s — the
+    mutual-adjoint custom_vjp multiplies kernel invocations under
+    grad-of-grad (~156 so2_conv custom calls/step profiled) and defeats
+    XLA's cross-expression CSE/fusion of the unfused GEMMs (PERF.md round 3).
+    """
     import os
 
     v = os.environ.get("ETQ_RC_FUSED", "")
-    if v != "":
-        return v not in ("0", "false", "off")
-    return True
+    if v in ("0", "false", "off"):
+        return False
+    if v in ("1", "on", "all"):
+        return True
+    if v == "":
+        return False
+    return site in {s.strip() for s in v.split(",")}
 
 
 def so2conv_fusable(wigner, c_in: int, c_out: int, extra: int = 0,
-                    m0: bool = False) -> bool:
+                    m0: bool = False, site: str = "") -> bool:
     """Whether an SO2Conv call can take the fused rotate+conv path: dense
     Wigner representation, fusion enabled, and lane-aligned channel widths
     (128-multiples for in-kernel row slicing).  All reference model configs
     satisfy the alignment (sphere 128, hidden 128, heads*value 128)."""
     from .rotate_dense import WignerDense
 
-    if not isinstance(wigner, WignerDense) or not rc_enabled():
+    if not isinstance(wigner, WignerDense) or not rc_enabled(site):
         return False
     if m0:
         # m0 path emits only the invariant `extra` block

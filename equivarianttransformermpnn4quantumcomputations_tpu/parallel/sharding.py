@@ -101,7 +101,14 @@ def _spec_for(path: str, shape, model_size: int):
         return rep
 
     # ── TP: FFN column/row pair ───────────────────────────────────────────
-    if "'ffn'" in path:
+    # matched by FeedForward leaf names, not the parent, so the output-head
+    # FFNs (energy_block / force_block / QM9 heads) shard too — the
+    # completeness test (test_no_big_param_silently_replicated) caught the
+    # energy head replicating 1.3 MB under the old "'ffn'"-only gate
+    if any(k in path for k in (
+        "so3_linear_1", "so3_linear_2", "gating_linear", "scalar_mlp",
+        "gate_proj", "grid_mlp",
+    )):
         if "so3_linear_1" in path:
             # weight (..., 3, C_in, H): shard H; bias (..., H)
             return spec(1) if ok(1) else rep
@@ -111,6 +118,11 @@ def _spec_for(path: str, shape, model_size: int):
                 return spec(2)
             return rep
         if "gating_linear" in path or "scalar_mlp" in path or "gate_proj" in path:
+            return spec(1) if ok(1) else rep
+        if "grid_mlp" in path:
+            # 3 chained square GEMMs in grid space: col / row / col
+            if "grid_mlp_1" in path and "kernel" in path and ok(2):
+                return spec(2)
             return spec(1) if ok(1) else rep
         return rep
 
