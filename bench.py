@@ -84,7 +84,14 @@ def _semantic_flops(raw_step, *args):
 def _time_step(step, state, batch, key, steps=STEPS):
     import jax
 
+    # TWO warmup calls: host-initialized params are device-committed while
+    # eager-created opt/ema leaves are not, so the output state's argument
+    # mapping can differ from the first call's -> jax silently retraces and
+    # recompiles ONCE on the second call (measured: a ~90 s compile landing
+    # inside the timing loop, round 3).  The second warmup absorbs it.
     state, metrics = step(state, batch, key)  # compile + warmup
+    jax.block_until_ready(metrics["loss"])
+    state, metrics = step(state, batch, key)  # absorb any arg-mapping retrace
     jax.block_until_ready(metrics["loss"])
     t0 = time.perf_counter()
     for i in range(steps):
@@ -119,6 +126,7 @@ def bench_matpes():
     )
     from equivarianttransformermpnn4quantumcomputations_tpu.train.trainer import (
         create_train_state,
+        init_params_host,
         make_matpes_train_step,
         make_optimizer,
     )
@@ -138,7 +146,7 @@ def bench_matpes():
         uniform=UNIFORM,
     )
     batch = {k: jnp.asarray(v) for k, v in raw.items()}
-    params = model.init(jax.random.PRNGKey(0), batch)
+    params = init_params_host(model, jax.random.PRNGKey(0), batch)
     tx = make_optimizer(warmup_cosine(2e-4, 100, 10000), weight_decay=1e-3)
     state = create_train_state(params, tx)
     raw_step = make_matpes_train_step(model, tx, mixed_precision=BF16)
@@ -164,6 +172,7 @@ def bench_qm9():
     )
     from equivarianttransformermpnn4quantumcomputations_tpu.train.trainer import (
         create_train_state,
+        init_params_host,
         make_qm9_train_step,
         make_optimizer,
     )
@@ -181,7 +190,7 @@ def bench_qm9():
     raw["atomic_numbers"] = np.minimum(raw["atomic_numbers"], 9)  # QM9 Z<10
     raw["y"] = rng.normal(size=(B, 12)).astype(np.float32)
     batch = {k: jnp.asarray(v) for k, v in raw.items()}
-    params = model.init(jax.random.PRNGKey(0), batch)
+    params = init_params_host(model, jax.random.PRNGKey(0), batch)
     tx = make_optimizer(warmup_cosine(5e-4, 100, 10000), weight_decay=5e-3)
     state = create_train_state(params, tx)
     raw_step = make_qm9_train_step(model, tx, mixed_precision=BF16)
@@ -210,6 +219,7 @@ def bench_oc20():
         TrainState,
         cast_params,
         create_train_state,
+        init_params_host,
         ema_update,
         make_optimizer,
         oc20_loss,
@@ -226,7 +236,7 @@ def bench_oc20():
         rng, B, atoms, B * 80, B * 1600, max_neighbors=20, uniform=True
     )
     batch = {k: jnp.asarray(v) for k, v in raw.items()}
-    params = model.init(jax.random.PRNGKey(0), batch)
+    params = init_params_host(model, jax.random.PRNGKey(0), batch)
     tx = make_optimizer(warmup_cosine(4e-4, 100, 10000), weight_decay=1e-3)
     state = create_train_state(params, tx)
 

@@ -218,7 +218,9 @@ class EquiformerV2Backbone(nn.Module):
         #              matmuls poorly)
         import os as _os
 
-        _default = "dense" if jax.default_backend() == "tpu" else "factored"
+        from ..utils.backend import on_tpu
+
+        _default = "dense" if on_tpu() else "factored"
         _wrep = _os.environ.get("ETQ_WIGNER", _default)
         if _wrep == "blocks":
             from ..ops.rotation import compute_wigner_blocks

@@ -64,12 +64,24 @@ _S2_CKPT = os.environ.get("ETQ_S2_CKPT", "1") == "1"
 # "1" (default): use on TPU.  "0": never.  "force": use even off-TPU
 # (interpret mode — for tests of the kernel's AD chain on CPU).
 _S2_FUSED = os.environ.get("ETQ_S2_FUSED", "1")
+# Below this many leading rows the plain-XLA path wins: at small N XLA's
+# fused bwd/bwd-of-bwd beats the per-pallas-call floor (round 3,
+# scripts/s2act_microbench.py at the flagship FFN site [256, 25, 512]:
+# grad2 2.66 ms XLA-ckpt vs 4.72 ms kernel; at [960, 25, 512] the kernel
+# already wins, 5.5 vs 8.0; the [5120, 19, 128] edge site keeps the kernel:
+# grad2 6.5 ms vs 11.5).  The threshold applies to the STATIC padded row
+# count, so routing is a trace-time constant.
+_S2_FUSED_MIN_ROWS = int(os.environ.get("ETQ_S2_FUSED_MIN_ROWS", 512))
 
 
-def _use_fused() -> bool:
-    return _S2_FUSED == "force" or (
-        _S2_FUSED == "1" and jax.default_backend() == "tpu"
-    )
+def _use_fused(n_rows: int | None = None) -> bool:
+    if _S2_FUSED == "force":  # tests exercise the kernel chain at tiny N
+        return True
+    if n_rows is not None and n_rows < _S2_FUSED_MIN_ROWS:
+        return False
+    from ..utils.backend import on_tpu
+
+    return _S2_FUSED == "1" and on_tpu()
 
 
 def s2_activation(x, grid: S2Grid):
@@ -81,7 +93,7 @@ def s2_activation(x, grid: S2Grid):
     pts = grid.res_beta * grid.res_alpha
     full_bytes = N * pts * C * 4
 
-    if _use_fused():
+    if _use_fused(N):
         from ..ops.pallas.s2act import s2act_fused
 
         return s2act_fused(x, grid)

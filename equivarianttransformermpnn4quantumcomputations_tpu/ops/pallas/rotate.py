@@ -48,7 +48,9 @@ __all__ = ["rotate_to_edge_fused", "rotate_from_edge_fused"]
 
 
 def _interpret() -> bool:
-    return jax.default_backend() != "tpu"
+    from ...utils.backend import on_tpu
+
+    return not on_tpu()
 
 
 def _block_spec(shape, index_map=None):

@@ -51,7 +51,9 @@ __all__ = [
 
 
 def _interpret() -> bool:
-    return jax.default_backend() != "tpu"
+    from ...utils.backend import on_tpu
+
+    return not on_tpu()
 
 
 def _block_spec(shape, index_map=None):

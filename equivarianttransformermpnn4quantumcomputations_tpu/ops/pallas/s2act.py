@@ -44,7 +44,9 @@ __all__ = ["s2act_fused", "s2act_reference"]
 
 
 def _interpret() -> bool:
-    return jax.default_backend() != "tpu"
+    from ...utils.backend import on_tpu
+
+    return not on_tpu()
 
 
 def _block_spec(shape, index_map=None):
@@ -83,67 +85,73 @@ def _tile_nc(P: int, C: int, n_bufs: int):
     return 1 << (t.bit_length() - 1), Cb
 
 
+# All kernels use explicit 2D dots on [K, T*C] views: Mosaic's lowering of
+# the 3D dot_general with a mid-axis contraction inserts its own relayouts;
+# swapping the tiny [T, K, C] block to K-major by hand and issuing plain
+# [Pp, K] @ [K, T*C] GEMMs measured 27% faster at the edge site (round 3,
+# scripts/s2act_microbench.py: 2.39 -> 1.74 ms fwd at [5120, 19, 128]).
+# Tables are pre-padded with zero rows to a sublane multiple Pp (zero grid
+# points are exact no-ops through every derivative: silu(0)=0 kills k1, and
+# every k2/k3 term carries an A- or F-row factor that is zero there).
+
+
+def _fwd_dot(M, v):
+    # [Pp, K] @ [K, T*C] -> [Pp, T*C], f32 accumulation on the MXU
+    return jax.lax.dot_general(
+        M, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _adj_dot(M, v):
+    # [Pp, K]^T @ [Pp, T*C] -> [K, T*C]
+    return jax.lax.dot_general(
+        M, v, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _to_km(ref):
+    T, K, C = ref.shape
+    return jnp.swapaxes(ref[:], 0, 1).reshape(K, T * C)
+
+
+def _from_km(v, ref):
+    T, K, C = ref.shape
+    return jnp.swapaxes(v.reshape(K, T, C), 0, 1).astype(ref.dtype)
+
+
 def _k1(a_ref, f_ref, x_ref, o_ref):
     # compute dtype follows the input (bf16 under mixed precision -> native
     # bf16 MXU, f32 accumulation); silu runs in f32
-    x = x_ref[:]
+    x = _to_km(x_ref)
     A = a_ref[:].astype(x.dtype)
     F = f_ref[:].astype(x.dtype)
-    g = jax.lax.dot_general(
-        A, x, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [P, T, C]
+    g = _fwd_dot(A, x)  # [Pp, T*C]
     sg = _silu(g).astype(x.dtype)
-    out = jax.lax.dot_general(
-        F, sg, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [K, T, C]
-    o_ref[:] = jnp.transpose(out, (1, 0, 2)).astype(o_ref.dtype)
+    o_ref[:] = _from_km(_adj_dot(F, sg), o_ref)
 
 
 def _k2(a_ref, f_ref, x_ref, do_ref, dx_ref):
-    x = x_ref[:]
-    do = do_ref[:]
+    x = _to_km(x_ref)
+    do = _to_km(do_ref)
     A = a_ref[:].astype(x.dtype)
     F = f_ref[:].astype(x.dtype)
-    g = jax.lax.dot_general(
-        A, x, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    h = jax.lax.dot_general(
-        F, do, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
+    g = _fwd_dot(A, x)
+    h = _fwd_dot(F, do)
     w = (_silu_d1(g) * h).astype(x.dtype)
-    dx = jax.lax.dot_general(
-        A, w, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )  # [K, T, C]
-    dx_ref[:] = jnp.transpose(dx, (1, 0, 2)).astype(dx_ref.dtype)
+    dx_ref[:] = _from_km(_adj_dot(A, w), dx_ref)
 
 
 def _k3(a_ref, f_ref, x_ref, do_ref, ddx_ref, ddo_ref, dx2_ref):
-    x = x_ref[:]
+    x = _to_km(x_ref)
     A = a_ref[:].astype(x.dtype)
     F = f_ref[:].astype(x.dtype)
-    g = jax.lax.dot_general(
-        A, x, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    u = jax.lax.dot_general(
-        A, ddx_ref[:], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    h = jax.lax.dot_general(
-        F, do_ref[:], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    ddo = jax.lax.dot_general(
-        F, (_silu_d1(g) * u).astype(x.dtype), (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    dx2 = jax.lax.dot_general(
-        A, (_silu_d2(g) * h * u).astype(x.dtype), (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    ddo_ref[:] = jnp.transpose(ddo, (1, 0, 2)).astype(ddo_ref.dtype)
-    dx2_ref[:] = jnp.transpose(dx2, (1, 0, 2)).astype(dx2_ref.dtype)
+    g = _fwd_dot(A, x)
+    u = _fwd_dot(A, _to_km(ddx_ref))
+    h = _fwd_dot(F, _to_km(do_ref))
+    ddo = _adj_dot(F, (_silu_d1(g) * u).astype(x.dtype))
+    dx2 = _adj_dot(A, (_silu_d2(g) * h * u).astype(x.dtype))
+    ddo_ref[:] = _from_km(ddo, ddo_ref)
+    dx2_ref[:] = _from_km(dx2, dx2_ref)
 
 
 def _call(kernel, A, F, inputs, n_out: int, n_grid_bufs: int):
@@ -244,6 +252,12 @@ def _tables(grid_key):
     # and cache tracers (UnexpectedTracerError on the next trace)
     A = np.asarray(grid.to_grid_mat, dtype=np.float32).reshape(P, K)
     F = np.asarray(grid.from_grid_mat, dtype=np.float32).reshape(P, K)
+    # pad the grid-point axis to a sublane multiple: zero rows are exact
+    # no-ops through all three kernels (see the kernel block comment)
+    Pp = -(-P // 8) * 8
+    if Pp != P:
+        A = np.pad(A, ((0, Pp - P), (0, 0)))
+        F = np.pad(F, ((0, Pp - P), (0, 0)))
     return A, F
 
 

@@ -46,7 +46,9 @@ def _seg_sum_impl(vals2d, ids, num_segments: int, blocks):
         ).astype(vals2d.dtype)
         out = jnp.einsum("ben,bed->bnd", onehot, v)
         return out.reshape(B * n_max, D)
-    if jax.default_backend() == "tpu":
+    from ...utils.backend import on_tpu
+
+    if on_tpu():
         # one-hot MXU matmul: TPU scatter-add is serialized (~1.5x slower)
         onehot = (
             ids[:, None] == jnp.arange(num_segments, dtype=ids.dtype)[None, :]

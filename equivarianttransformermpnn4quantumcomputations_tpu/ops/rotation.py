@@ -428,7 +428,9 @@ def _use_fused_rotate() -> bool:
     v = os.environ.get("ETQ_FUSED_ROTATE", "")
     if v != "":
         return v not in ("0", "false", "off")
-    return jax.default_backend() == "tpu"
+    from ..utils.backend import on_tpu
+
+    return on_tpu()
 
 
 def rotate_to_edge(wigner, x, layout: IrrepsLayout):

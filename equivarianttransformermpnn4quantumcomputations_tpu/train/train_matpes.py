@@ -117,7 +117,7 @@ def main(argv=None):
     from ..utils.logging import RunLogger
     from .checkpoint import CheckpointManager, install_sigterm_checkpoint
     from .schedules import warmup_cosine
-    from .trainer import create_train_state, make_matpes_train_step, make_optimizer
+    from .trainer import create_train_state, init_params_host, make_matpes_train_step, make_optimizer
 
     if cfg.get("synthetic"):
         # pymatgen-free end-to-end path (LJ crystals; see data/synthetic.py)
@@ -189,7 +189,7 @@ def main(argv=None):
     rng = jax.random.PRNGKey(cfg["seed"])
     first = next(iter(mk(val_ds, False)))
     fb = {k: jnp.asarray(v) for k, v in first.asdict().items()}
-    params = model.init(rng, fb)
+    params = init_params_host(model, rng, fb)
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
     if primary:
         print(f"model params: {n_params/1e6:.2f}M  pads: n={n_pad} e={e_pad}")

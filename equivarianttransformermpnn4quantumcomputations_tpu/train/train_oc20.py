@@ -128,6 +128,7 @@ def main(argv=None):
     from .checkpoint import CheckpointManager, install_sigterm_checkpoint
     from .schedules import warmup_cosine
     from .trainer import (
+        init_params_host,
         TrainState,
         create_train_state,
         ema_update,
@@ -175,7 +176,7 @@ def main(argv=None):
     rng = jax.random.PRNGKey(cfg["seed"])
     first = next(iter(val_loader))
     fb = {k: jnp.asarray(v) for k, v in first.asdict().items()}
-    params = model.init(rng, fb)
+    params = init_params_host(model, rng, fb)
     state = create_train_state(params, tx)
     ckpt = CheckpointManager(cfg["run_dir"], cfg, primary=primary)
     if args.checkpoint:

@@ -67,7 +67,7 @@ def main(argv=None):
     from ..utils.logging import RunLogger
     from .checkpoint import CheckpointManager, install_sigterm_checkpoint
     from .schedules import warmup_cosine
-    from .trainer import create_train_state, make_optimizer, make_qm9_train_step
+    from .trainer import create_train_state, init_params_host, make_optimizer, make_qm9_train_step
 
     dataset = QM9Dataset(
         cfg["db_path"],
@@ -121,7 +121,7 @@ def main(argv=None):
     rng = jax.random.PRNGKey(cfg["seed"])
     first = next(iter(mk(tr_idx[: cfg["batch_size"]], False)))
     fb = {k: jnp.asarray(v) for k, v in first.asdict().items()}
-    params = model.init(rng, fb)
+    params = init_params_host(model, rng, fb)
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
     print(f"model params: {n_params/1e6:.2f}M  pads: n={n_pad} e={e_pad}")
 

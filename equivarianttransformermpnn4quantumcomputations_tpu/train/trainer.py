@@ -27,6 +27,7 @@ from typing import Any, Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 __all__ = [
@@ -94,12 +95,58 @@ def create_train_state(params, tx) -> TrainState:
     # ema starts as a *copy* — params and ema_params must not alias the same
     # buffers or donation in jitted steps fails ("donate the same buffer twice")
     ema = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), params)
-    return TrainState(
+    state = TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
         opt_state=tx.init(params),
         ema_params=ema,
     )
+    # Uniform placement: when params are device-committed (init_params_host
+    # device_puts host-initialized params) but the eager-created opt/ema
+    # leaves are not, the first jitted step sees a mixed argument mapping
+    # while its OUTPUT state is all-committed -> the second call silently
+    # retraces + recompiles the whole step (~90 s for the flagship, round 3).
+    # Committing every leaf up front makes the first compile the fixed point.
+    devs = {
+        d for leaf in jax.tree_util.tree_leaves(state)
+        for d in getattr(leaf, "devices", lambda: set())()
+    }
+    if len(devs) == 1:
+        state = jax.device_put(state, devs.pop())
+    return state
+
+
+def init_params_host(model, rng, batch, **init_kwargs):
+    """``model.init`` on the host CPU, then transfer to the default device.
+
+    On TPU, initializing the flagship model on-device costs ~10 min: the init
+    function traces the whole forward and goes through the remote XLA:TPU
+    compiler (CLAUDE.md).  The init computation is tiny (RNG + fan-in
+    scaling) — running it on the local CPU backend compiles in seconds and
+    the resulting parameters are shipped once with ``device_put``.
+
+    Falls back to plain ``model.init`` when no CPU backend exists or the
+    default backend is already CPU.
+    """
+    if jax.default_backend() == "cpu":
+        return model.init(rng, batch, **init_kwargs)
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except Exception:
+        return model.init(rng, batch, **init_kwargs)
+    from ..utils.backend import compute_on
+
+    # compute_on("cpu"): kernel routing (pallas interpret mode, XLA paths)
+    # must target the host platform, not jax.default_backend() (= "tpu")
+    with jax.default_device(cpu), compute_on("cpu"):
+        host_batch = jax.tree_util.tree_map(
+            lambda v: jax.device_put(np.asarray(v), cpu), batch
+        )
+        # the PRNG key must live on the CPU too: a TPU-committed key drags
+        # every fold_in back to the device (cross-backend copy errors)
+        params = model.init(jax.device_put(rng, cpu), host_batch,
+                            **init_kwargs)
+    return jax.device_put(params, jax.devices()[0])
 
 
 def ema_update(ema_params, params, decay: float = 0.999):

@@ -40,6 +40,7 @@ def main():
     )
     from equivarianttransformermpnn4quantumcomputations_tpu.train.trainer import (
         create_train_state,
+        init_params_host,
         make_matpes_train_step,
         make_optimizer,
     )
@@ -59,7 +60,7 @@ def main():
         max_neighbors=20, uniform=True,
     )
     batch = {k: jnp.asarray(v) for k, v in raw.items()}
-    params = model.init(jax.random.PRNGKey(0), batch)
+    params = init_params_host(model, jax.random.PRNGKey(0), batch)
     tx = make_optimizer(warmup_cosine(2e-4, 100, 10000), weight_decay=1e-3)
     state = create_train_state(params, tx)
     step = jax.jit(

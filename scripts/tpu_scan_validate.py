@@ -28,6 +28,7 @@ def main():
     )
     from equivarianttransformermpnn4quantumcomputations_tpu.train.trainer import (
         create_train_state,
+        init_params_host,
         make_matpes_train_step,
         make_optimizer,
     )
@@ -51,7 +52,7 @@ def main():
     for name, scan in (("scan", True), ("unrolled", False)):
         model = EquiformerV2MatPES(**kw, scan_layers=scan)
         t0 = time.perf_counter()
-        params = model.init(jax.random.PRNGKey(0), batch)
+        params = init_params_host(model, jax.random.PRNGKey(0), batch)
         t_init = time.perf_counter() - t0
         if scan:
             # host copy: the train step donates the state, deleting the

@@ -110,3 +110,25 @@ def test_checkpoint_roundtrip(tmp_path):
         and not d.endswith(".json")
     )
     assert kept == ["ckpt_epoch_00002", "ckpt_epoch_00003"]
+
+
+def test_init_params_host_matches_device_init():
+    """init_params_host (CPU-side init + device_put, trainer.py) produces the
+    same tree/shapes/values as a plain model.init — the TPU fast-init path."""
+    from equivarianttransformermpnn4quantumcomputations_tpu.train.trainer import (
+        init_params_host,
+    )
+
+    ds = SyntheticMolecules(n_samples=8, n_atoms=6, targets=1)
+    n_pad, e_pad = infer_pad_sizes(ds, 4.0, 12, batch_size=4)
+    loader = PaddedLoader(ds, 4, 4.0, 12, n_pad, e_pad)
+    model = EquiformerV2QM9(**TINY)
+    fb = {k: jnp.asarray(v) for k, v in next(iter(loader)).asdict().items()}
+    p_host = init_params_host(model, jax.random.PRNGKey(0), fb)
+    p_dev = model.init(jax.random.PRNGKey(0), fb)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=0, atol=0
+        ),
+        p_host, p_dev,
+    )
