@@ -55,33 +55,46 @@ def gate_activation(gating_scalars, x, lmax: int, mmax: int, num_channels: int):
 # than it saves (measured 3x step-time regression at 32 MB chunks).
 import os
 
-_CHUNK_THRESHOLD = int(
-    os.environ.get("ETQ_S2_CHUNK_THRESHOLD_MB", 1024)
-) * 1024 * 1024
-_CHUNK_TARGET = int(os.environ.get("ETQ_S2_CHUNK_MB", 256)) * 1024 * 1024
-_S2_CKPT = os.environ.get("ETQ_S2_CKPT", "1") == "1"
+# All ETQ_* knobs are read at CALL time (not import time) so that scoped
+# env overrides work — bench._semantic_flops traces a pure-XLA lowering
+# under ETQ_S2_FUSED=0 after this module is long imported.
+
+
+def _chunk_threshold() -> int:
+    return int(os.environ.get("ETQ_S2_CHUNK_THRESHOLD_MB", 1024)) * 1024 * 1024
+
+
+def _chunk_target() -> int:
+    return int(os.environ.get("ETQ_S2_CHUNK_MB", 256)) * 1024 * 1024
+
+
+def _s2_ckpt() -> bool:
+    return os.environ.get("ETQ_S2_CKPT", "1") == "1"
+
+
 # fused Pallas kernel (ops/pallas/s2act.py): grid tensors never touch HBM.
-# "1" (default): use on TPU.  "0": never.  "force": use even off-TPU
-# (interpret mode — for tests of the kernel's AD chain on CPU).
-_S2_FUSED = os.environ.get("ETQ_S2_FUSED", "1")
-# Below this many leading rows the plain-XLA path wins: at small N XLA's
-# fused bwd/bwd-of-bwd beats the per-pallas-call floor (round 3,
-# scripts/s2act_microbench.py at the flagship FFN site [256, 25, 512]:
-# grad2 2.66 ms XLA-ckpt vs 4.72 ms kernel; at [960, 25, 512] the kernel
-# already wins, 5.5 vs 8.0; the [5120, 19, 128] edge site keeps the kernel:
-# grad2 6.5 ms vs 11.5).  The threshold applies to the STATIC padded row
-# count, so routing is a trace-time constant.
-_S2_FUSED_MIN_ROWS = int(os.environ.get("ETQ_S2_FUSED_MIN_ROWS", 512))
+# ETQ_S2_FUSED: "1" (default): use on TPU.  "0": never.  "force": use even
+# off-TPU (interpret mode — for tests of the kernel's AD chain on CPU).
+# ETQ_S2_FUSED_MIN_ROWS: route sites with fewer leading rows to the
+# plain-XLA path.  Default 0 (kernel everywhere on TPU): the op-level
+# microbench says XLA-ckpt wins the flagship FFN site ([256, 25, 512]
+# grad2 2.66 ms vs 4.72 ms kernel), but COMPOSED into the unrolled
+# force-training step the XLA-ckpt route measured ~195 ms/step SLOWER
+# (19.34 -> 13.15 g/s, round 3) — checkpoint recompute in the full
+# grad-of-grad chain dwarfs the isolated-op win.  The knob remains for
+# experiments; the threshold keys on the STATIC padded row count.
 
 
 def _use_fused(n_rows: int | None = None) -> bool:
-    if _S2_FUSED == "force":  # tests exercise the kernel chain at tiny N
+    fused = os.environ.get("ETQ_S2_FUSED", "1")
+    if fused == "force":  # tests exercise the kernel chain at tiny N
         return True
-    if n_rows is not None and n_rows < _S2_FUSED_MIN_ROWS:
+    min_rows = int(os.environ.get("ETQ_S2_FUSED_MIN_ROWS", 0))
+    if n_rows is not None and n_rows < min_rows:
         return False
     from ..utils.backend import on_tpu
 
-    return _S2_FUSED == "1" and on_tpu()
+    return fused == "1" and on_tpu()
 
 
 def s2_activation(x, grid: S2Grid):
@@ -105,13 +118,13 @@ def s2_activation(x, grid: S2Grid):
     def act(xc):
         return grid.from_grid(jax.nn.silu(grid.to_grid(xc)))
 
-    if _S2_CKPT:
+    if _s2_ckpt():
         act = jax.checkpoint(act)
 
-    if full_bytes <= _CHUNK_THRESHOLD:
+    if full_bytes <= _chunk_threshold():
         return act(x)
 
-    chunk = max(8, (_CHUNK_TARGET // (pts * C * 4)) // 8 * 8)
+    chunk = max(8, (_chunk_target() // (pts * C * 4)) // 8 * 8)
     n_chunks = -(-N // chunk)
     pad = n_chunks * chunk - N
     xp = jnp.pad(x, ((0, pad), (0, 0), (0, 0)))

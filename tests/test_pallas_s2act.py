@@ -111,8 +111,10 @@ def test_flagship_model_scan_layers_fused_forces():
         matpes_energy_forces_stress,
     )
 
-    old = A._S2_FUSED
-    A._S2_FUSED = "force"
+    import os
+
+    old = os.environ.get("ETQ_S2_FUSED")
+    os.environ["ETQ_S2_FUSED"] = "force"
     try:
         rng = np.random.default_rng(7)
         n = 5
@@ -164,4 +166,7 @@ def test_flagship_model_scan_layers_fused_forces():
         fb = np.asarray(out_u["forces"])
         assert np.abs(fa - fb).max() < 2e-3, np.abs(fa - fb).max()
     finally:
-        A._S2_FUSED = old
+        if old is None:
+            os.environ.pop("ETQ_S2_FUSED", None)
+        else:
+            os.environ["ETQ_S2_FUSED"] = old
