@@ -13,29 +13,32 @@ override first.
 from __future__ import annotations
 
 import contextlib
+import contextvars
 
 import jax
 
 __all__ = ["compute_on", "target_platform", "on_tpu"]
 
-_override: str | None = None
+# ContextVar, not a module global: an override held by one thread (or async
+# task) must not leak into traces running concurrently on another (ADVICE r3).
+_override: contextvars.ContextVar[str | None] = contextvars.ContextVar(
+    "etq_platform", default=None
+)
 
 
 @contextlib.contextmanager
 def compute_on(platform: str):
     """Declare that enclosed traces/executions target ``platform``
     ("cpu" | "tpu"), overriding ``jax.default_backend()`` for routing."""
-    global _override
-    prev = _override
-    _override = platform
+    token = _override.set(platform)
     try:
         yield
     finally:
-        _override = prev
+        _override.reset(token)
 
 
 def target_platform() -> str:
-    return _override or jax.default_backend()
+    return _override.get() or jax.default_backend()
 
 
 def on_tpu() -> bool:

@@ -26,6 +26,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+# (T, Pb) tile choices for the v3 P-blocked kernel; empty by default (the
+# variant was probed and rejected in round 3 — PERF.md).  Set via env, e.g.
+# ETQ_S2_MB_V3="128:8,64:16" to re-probe.
+V3_VARIANTS = [
+    tuple(int(v) for v in pair.split(":"))
+    for pair in os.environ.get("ETQ_S2_MB_V3", "").split(",")
+    if pair
+]
+
 
 def timeit(fn, *args, reps=30):
     import jax
@@ -198,7 +207,10 @@ def main():
                 print(f"  fwd {nm:12s} {ms:7.3f} ms   maxerr {err:.2e}")
             except Exception as e:
                 print(f"  fwd {nm:12s} FAILED: {type(e).__name__}: {e}")
-        for T, Pb in []:
+        # v3 P-blocked accumulation variants (pass e.g. [(128, 8)] to probe;
+        # rejected in round 3: no faster than v1/v2 and most (T, Pb) choices
+        # violate Mosaic's 8/128 divisibility — see PERF.md)
+        for T, Pb in V3_VARIANTS:
             nm = f"v3_T{T}_Pb{Pb}"
             try:
                 fn = jax.jit(functools.partial(call_pblk, A, F, T=T, Pb=Pb))
