@@ -5,6 +5,16 @@ Prints ONE JSON line.  Primary metric = the flagship MatPES GATA-V2 step
 reference configs (SURVEY §0 workload table) each with graphs/s, semantic
 GFLOPs/step, and MFU.
 
+Provenance (VERDICT r3 Weak #2): the JSON embeds the git sha/dirty flag,
+every ETQ_* knob in the environment, the bench shape, backend/device kind,
+and per-step wall times (min/median over the timed steps) plus a profiled
+device-self-time per step — session-to-session tunnel variance shows up as
+wall >> device.  FLOPs/MFU failures are never silent: the exception string
+is recorded as ``flops_error`` (VERDICT r3 Weak #3).
+
+Workloads that die on a transient remote-compile error (the axon tunnel's
+HTTP 500s) are retried up to ``ETQ_BENCH_RETRIES`` (default 2) times.
+
 FLOPs accounting: the semantic FLOPs of a step are counted from an
 UNOPTIMIZED pure-XLA lowering (`jax.jit(...).lower(...).cost_analysis()`)
 traced with the Pallas kernels disabled (ETQ_RC_FUSED=0, ETQ_WIGNER=
@@ -23,6 +33,7 @@ grounded numbers are graphs/s and MFU).
 import contextlib
 import json
 import os
+import subprocess
 import time
 
 import numpy as np
@@ -50,6 +61,54 @@ SCAN = os.environ.get("ETQ_BENCH_SCAN", "0") == "1"
 UNIFORM = os.environ.get("ETQ_BENCH_UNIFORM", "1") == "1"
 # comma list: any of matpes,qm9,oc20
 WORKLOADS = os.environ.get("ETQ_BENCH_WORKLOADS", "matpes,qm9,oc20")
+RETRIES = int(os.environ.get("ETQ_BENCH_RETRIES", 2))
+# profiled device-time measurement (TPU only; adds ~3 steps per workload)
+DEVICE_PROFILE = os.environ.get("ETQ_BENCH_DEVICE_PROFILE", "1") == "1"
+
+# ETQ_* knobs that shape the production compute path (recorded + defaulted
+# here so the artifact states what actually ran, not just what was exported)
+_KNOB_DEFAULTS = {
+    "ETQ_WIGNER": "dense (tpu) / factored (cpu)",
+    "ETQ_RC_FUSED": "0",
+    "ETQ_S2_FUSED": "1",
+    "ETQ_S2_FUSED_MIN_ROWS": "0",
+    "ETQ_S2_CKPT": "0",
+    "ETQ_M0_ONLY": "1",
+}
+
+
+def _provenance():
+    def _git(*args):
+        try:
+            return subprocess.run(
+                ["git", *args], cwd=os.path.dirname(os.path.abspath(__file__)),
+                capture_output=True, text=True, timeout=10,
+            ).stdout.strip()
+        except Exception:
+            return None
+
+    import jax
+
+    knobs = dict(_KNOB_DEFAULTS)
+    knobs.update(
+        {k: v for k, v in os.environ.items() if k.startswith("ETQ_")}
+    )
+    return {
+        "git_sha": _git("rev-parse", "--short", "HEAD"),
+        "git_dirty": bool(_git("status", "--porcelain")),
+        "jax_backend": jax.default_backend(),
+        "device_kind": jax.devices()[0].device_kind,
+        "n_devices": jax.device_count(),
+        "knobs": knobs,
+        "scan_layers_flagship": SCAN,
+        "bf16": BF16,
+        "remat": REMAT,
+        "uniform_blocks": UNIFORM,
+        "flagship_shape": {
+            "n_graphs": N_GRAPHS, "atoms_per_graph": ATOMS_PER_GRAPH,
+            "n_pad": N_PAD, "e_pad": E_PAD, "timed_steps": STEPS,
+        },
+    }
 
 
 @contextlib.contextmanager
@@ -67,7 +126,11 @@ def _envvars(**kv):
 
 
 def _semantic_flops(raw_step, *args):
-    """FLOPs/step from an unoptimized pure-XLA lowering (no compile)."""
+    """FLOPs/step from an unoptimized pure-XLA lowering (no compile).
+
+    Returns ``(flops | None, error_string | None)`` — failures are surfaced,
+    never swallowed (VERDICT r3 Weak #3).
+    """
     import jax
 
     try:
@@ -76,12 +139,17 @@ def _semantic_flops(raw_step, *args):
             cost = jax.jit(raw_step).lower(*args).cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
-        return float(cost.get("flops", 0.0)) or None
-    except Exception:
-        return None
+        flops = float(cost.get("flops", 0.0))
+        if not flops:
+            return None, "cost_analysis returned flops=0"
+        return flops, None
+    except Exception as e:
+        return None, f"{type(e).__name__}: {e}"[:300]
 
 
 def _time_step(step, state, batch, key, steps=STEPS):
+    """Per-step wall times (s).  Each step is individually blocked so the
+    list exposes variance (tunnel hiccups show as outlier steps)."""
     import jax
 
     # TWO warmup calls: host-initialized params are device-committed while
@@ -93,22 +161,61 @@ def _time_step(step, state, batch, key, steps=STEPS):
     jax.block_until_ready(metrics["loss"])
     state, metrics = step(state, batch, key)  # absorb any arg-mapping retrace
     jax.block_until_ready(metrics["loss"])
-    t0 = time.perf_counter()
+    times = []
     for i in range(steps):
+        t0 = time.perf_counter()
         state, metrics = step(state, batch, jax.random.fold_in(key, i))
-    jax.block_until_ready(metrics["loss"])
-    return time.perf_counter() - t0
+        jax.block_until_ready(metrics["loss"])
+        times.append(time.perf_counter() - t0)
+    return times, state
 
 
-def _result(n_graphs, steps, dt, flops):
+def _device_ms(step, state, batch, key):
+    """Profiled device self-time per step (ms) — or an error string."""
+    import jax
+
+    if jax.default_backend() != "tpu" or not DEVICE_PROFILE:
+        return None, "device profiling off (non-TPU or ETQ_BENCH_DEVICE_PROFILE=0)"
+    from equivarianttransformermpnn4quantumcomputations_tpu.utils.profiling import (
+        device_step_time,
+    )
+
+    holder = {"state": state}
+
+    def one(i):
+        holder["state"], m = step(
+            holder["state"], batch, jax.random.fold_in(key, 1000 + i)
+        )
+        jax.block_until_ready(m["loss"])
+
+    try:
+        return device_step_time(one, n_steps=3) * 1e3, None
+    except Exception as e:
+        return None, f"{type(e).__name__}: {e}"[:300]
+
+
+def _result(n_graphs, times, flops, flops_err, dev_ms, dev_err):
+    wall = np.asarray(times)
+    med = float(np.median(wall))
     out = {
-        "graphs_per_sec": round(n_graphs * steps / dt, 2),
-        "ms_per_step": round(dt / steps * 1000, 1),
+        "graphs_per_sec": round(n_graphs / med, 2),
+        "ms_per_step": round(med * 1000, 1),
+        "ms_per_step_min": round(float(wall.min()) * 1000, 1),
+        "ms_per_step_max": round(float(wall.max()) * 1000, 1),
     }
+    if dev_ms is not None:
+        out["device_ms_per_step"] = round(dev_ms, 1)
+    elif dev_err:
+        out["device_time_error"] = dev_err
     if flops:
         peak = V5E_PEAK_FLOPS_BF16 if BF16 else V5E_PEAK_FLOPS_F32
         out["gflops_per_step"] = round(flops / 1e9, 2)
-        out["mfu"] = round(flops * steps / dt / peak, 4)
+        out["mfu"] = round(flops / med / peak, 4)
+        if dev_ms is not None:
+            out["mfu_device"] = round(flops / (dev_ms / 1e3) / peak, 4)
+    else:
+        out["mfu"] = None
+        out["flops_error"] = flops_err
     return out
 
 
@@ -151,10 +258,11 @@ def bench_matpes():
     state = create_train_state(params, tx)
     raw_step = make_matpes_train_step(model, tx, mixed_precision=BF16)
     key = jax.random.PRNGKey(1)
-    flops = _semantic_flops(raw_step, state, batch, key)
+    flops, flops_err = _semantic_flops(raw_step, state, batch, key)
     step = jax.jit(raw_step, donate_argnums=(0,))
-    dt = _time_step(step, state, batch, key)
-    return _result(N_GRAPHS, STEPS, dt, flops)
+    times, state = _time_step(step, state, batch, key)
+    dev_ms, dev_err = _device_ms(step, state, batch, key)
+    return _result(N_GRAPHS, times, flops, flops_err, dev_ms, dev_err)
 
 
 def bench_qm9():
@@ -195,18 +303,19 @@ def bench_qm9():
     state = create_train_state(params, tx)
     raw_step = make_qm9_train_step(model, tx, mixed_precision=BF16)
     key = jax.random.PRNGKey(1)
-    flops = _semantic_flops(raw_step, state, batch, key)
+    flops, flops_err = _semantic_flops(raw_step, state, batch, key)
     step = jax.jit(raw_step, donate_argnums=(0,))
-    dt = _time_step(step, state, batch, key)
-    return _result(B, STEPS, dt, flops)
+    times, state = _time_step(step, state, batch, key)
+    dev_ms, dev_err = _device_ms(step, state, batch, key)
+    return _result(B, times, flops, flops_err, dev_ms, dev_err)
 
 
 def bench_oc20():
     """OC20 S2EF reference config (12 layers, lmax6/mmax2, explicit force
-    head), 4 graphs x 72 atoms @ cutoff 12."""
+    head), 4 graphs x 72 atoms @ cutoff 12.  Times the SAME step-builder
+    the trainer uses (trainer.make_oc20_train_step — VERDICT r3 Weak #8)."""
     import jax
     import jax.numpy as jnp
-    import optax
 
     from __graft_entry__ import _synthetic_batch
     from equivarianttransformermpnn4quantumcomputations_tpu.models.oc20 import (
@@ -216,13 +325,10 @@ def bench_oc20():
         warmup_cosine,
     )
     from equivarianttransformermpnn4quantumcomputations_tpu.train.trainer import (
-        TrainState,
-        cast_params,
         create_train_state,
         init_params_host,
-        ema_update,
+        make_oc20_train_step,
         make_optimizer,
-        oc20_loss,
     )
 
     B, atoms = 4, 72
@@ -239,42 +345,20 @@ def bench_oc20():
     params = init_params_host(model, jax.random.PRNGKey(0), batch)
     tx = make_optimizer(warmup_cosine(4e-4, 100, 10000), weight_decay=1e-3)
     state = create_train_state(params, tx)
-
-    def raw_step(state, batch, drop_rng):
-        def loss_fn(p):
-            if BF16:
-                import jax.numpy as jnp  # noqa: F811
-
-                p = cast_params(p, jnp.bfloat16)
-            outs = model.apply(
-                p, batch, deterministic=False, rngs={"dropout": drop_rng}
-            )
-            return oc20_loss(
-                outs["energy"].astype(jnp.float32), batch["energy"],
-                outs["forces"].astype(jnp.float32), batch["forces"],
-                batch["node_mask"],
-            )
-
-        import jax as _jax
-
-        (loss, metrics), grads = _jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        new_state = TrainState(
-            step=state.step + 1, params=params, opt_state=opt_state,
-            ema_params=ema_update(state.ema_params, params, 0.999),
-        )
-        metrics = dict(metrics)
-        metrics["loss"] = loss
-        return new_state, metrics
-
+    raw_step = make_oc20_train_step(model, tx, mixed_precision=BF16)
     key = jax.random.PRNGKey(1)
-    flops = _semantic_flops(raw_step, state, batch, key)
+    flops, flops_err = _semantic_flops(raw_step, state, batch, key)
     step = jax.jit(raw_step, donate_argnums=(0,))
-    dt = _time_step(step, state, batch, key)
-    return _result(B, STEPS, dt, flops)
+    times, state = _time_step(step, state, batch, key)
+    dev_ms, dev_err = _device_ms(step, state, batch, key)
+    return _result(B, times, flops, flops_err, dev_ms, dev_err)
+
+
+def _transient(err: str) -> bool:
+    return any(s in err for s in (
+        "remote_compile", "HTTP 5", "DEADLINE_EXCEEDED", "UNAVAILABLE",
+        "Socket closed", "Connection reset",
+    ))
 
 
 def main():
@@ -282,10 +366,16 @@ def main():
     fns = {"matpes": bench_matpes, "qm9": bench_qm9, "oc20": bench_oc20}
     results = {}
     for w in wanted:
-        try:
-            results[w] = fns[w]()
-        except Exception as e:  # keep the primary line emitting
-            results[w] = {"error": f"{type(e).__name__}: {e}"[:200]}
+        for attempt in range(RETRIES + 1):
+            try:
+                results[w] = fns[w]()
+                break
+            except Exception as e:  # keep the primary line emitting
+                err = f"{type(e).__name__}: {e}"[:300]
+                results[w] = {"error": err, "attempts": attempt + 1}
+                if not _transient(err):
+                    break
+                time.sleep(10)
 
     flag = results.get("matpes", {})
     gps = flag.get("graphs_per_sec", 0.0)
@@ -296,6 +386,7 @@ def main():
         "vs_baseline": round(gps / REFERENCE_ANCHOR_GRAPHS_PER_SEC, 3),
         "mfu": flag.get("mfu"),
         "workloads": results,
+        "provenance": _provenance(),
     }
     print(json.dumps(out))
 

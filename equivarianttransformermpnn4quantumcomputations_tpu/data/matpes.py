@@ -83,9 +83,19 @@ def _parse_entry(entry: dict):
         z, pos, cell = _structure_from_dict(entry["structure"])
         pos = pos.astype(np.float32)
         cell = cell.astype(np.float32)
-    energy = float(entry.get("energy", 0.0))
+    # genuine MatPES-2025.1 key variants (reference _normalise_entry,
+    # models/data_loader_matpes.py:82-107): total 'energy' or
+    # 'energy_per_atom' * nsites; 'forces' or 'force'
+    energy = entry.get("energy")
+    if energy is None:
+        epa = entry.get("energy_per_atom")
+        energy = float(epa) * len(z) if epa is not None else 0.0
+    energy = float(energy)
+    forces = entry.get("forces")
+    if forces is None:
+        forces = entry.get("force")
     forces = np.asarray(
-        entry.get("forces", np.zeros((len(z), 3))), np.float32
+        forces if forces is not None else np.zeros((len(z), 3)), np.float32
     )
     stress = parse_stress(entry.get("stress"))
     return z, pos, cell, energy, forces, stress
@@ -160,18 +170,47 @@ def load_matpes(
     Uses the official split file when given (reference :115-159), else a
     seeded 90/5/5 random split.
     """
-    from monty.serialization import loadfn  # gated
+    try:
+        from monty.serialization import loadfn  # gated; preferred
 
-    entries = loadfn(data_path)
+        entries = loadfn(data_path)
+    except ImportError:
+        # the MatPES dumps are plain JSON — monty only adds @module/@class
+        # object revival, which the pure-dict parse path does not need
+        opener = gzip.open if data_path.endswith(".gz") else open
+        with opener(data_path, "rt") as f:
+            entries = json.load(f)
+    if not isinstance(entries, list):
+        entries = list(entries.values())
     by_id = {e.get("matpes_id", i): e for i, e in enumerate(entries)}
 
     if split_path is not None:
         opener = gzip.open if split_path.endswith(".gz") else open
         with opener(split_path, "rt") as f:
             split = json.load(f)
-        train_e = [by_id[i] for i in split["train"] if i in by_id]
-        val_e = [by_id[i] for i in split["valid" if "valid" in split else "val"] if i in by_id]
-        test_e = [by_id[i] for i in split["test"] if i in by_id]
+        tr = split["train"]
+        va = split["valid" if "valid" in split else "val"]
+        te = split.get("test")
+        if all(isinstance(i, int) for i in list(tr)[:50]):
+            # index-keyed official split (the reference enumerates the raw
+            # entry list and tests membership by position,
+            # data_loader_matpes.py:135-152; everything not in train/valid
+            # falls to test)
+            tr_s, va_s = set(tr), set(va)
+            train_e = [e for i, e in enumerate(entries) if i in tr_s]
+            val_e = [e for i, e in enumerate(entries) if i in va_s]
+            if te is None:
+                test_e = [
+                    e for i, e in enumerate(entries)
+                    if i not in tr_s and i not in va_s
+                ]
+            else:
+                te_s = set(te)
+                test_e = [e for i, e in enumerate(entries) if i in te_s]
+        else:
+            train_e = [by_id[i] for i in tr if i in by_id]
+            val_e = [by_id[i] for i in va if i in by_id]
+            test_e = [by_id[i] for i in (te or []) if i in by_id]
     else:
         rng = np.random.default_rng(42)
         perm = rng.permutation(len(entries))

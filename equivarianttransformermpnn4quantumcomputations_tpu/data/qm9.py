@@ -110,8 +110,47 @@ def paper_targets(d) -> np.ndarray:
     )
 
 
+class _AseDbLite:
+    """Pure-python reader for ASE's sqlite3 database format.
+
+    Schema from ase/db/sqlite.py (format version >= 5): one row per system
+    in the ``systems`` table; ``numbers`` is an int32 blob, ``positions`` a
+    float64 blob (C order, little-endian), ``data`` a JSON text column.
+    The reference writes QM9 this way (datasets/QM9/qm9_ASEconversion.py:
+    ``db.write(atoms, data=properties)``), so this reads genuine ASE dbs
+    without the ase dependency.
+    """
+
+    def __init__(self, path: str):
+        import sqlite3
+
+        if not os.path.exists(path):
+            raise FileNotFoundError(path)
+        self.con = sqlite3.connect(path)
+
+    def count(self) -> int:
+        return self.con.execute("SELECT COUNT(*) FROM systems").fetchone()[0]
+
+    def get(self, row_id: int):
+        row = self.con.execute(
+            "SELECT numbers, positions, data FROM systems WHERE id=?",
+            (row_id,),
+        ).fetchone()
+        if row is None:
+            raise KeyError(f"no systems row with id={row_id}")
+        num_blob, pos_blob, data_txt = row
+        numbers = np.frombuffer(num_blob, dtype=np.int32)
+        positions = np.frombuffer(pos_blob, dtype=np.float64).reshape(-1, 3)
+        data = json.loads(data_txt) if data_txt else {}
+        return numbers, positions, data
+
+
 class QM9Dataset:
-    """ASE-db backed QM9 dataset yielding GraphSamples (paper units/order)."""
+    """ASE-db backed QM9 dataset yielding GraphSamples (paper units/order).
+
+    Uses ase when importable; otherwise reads the sqlite file directly
+    (``_AseDbLite``) — same genuine on-disk format either way.
+    """
 
     def __init__(
         self,
@@ -121,10 +160,16 @@ class QM9Dataset:
         normalize: bool = True,
         target_indices: Sequence[int] | None = None,
     ):
-        from ase.db import connect  # gated import
+        try:
+            from ase.db import connect  # gated import
 
-        self.db = connect(db_path)
-        n = self.db.count()
+            self.db = connect(db_path)
+            self._lite = None
+            n = self.db.count()
+        except ImportError:
+            self.db = None
+            self._lite = _AseDbLite(db_path)
+            n = self._lite.count()
         self.keys = list(range(1, n + 1))
         if max_samples is not None:
             self.keys = self.keys[:max_samples]
@@ -146,9 +191,14 @@ class QM9Dataset:
         return len(self.keys)
 
     def __getitem__(self, idx: int) -> GraphSample:
-        row = self.db.get(id=self.keys[idx])
-        atoms = row.toatoms()
-        targets = paper_targets(row.data)
+        if self.db is not None:
+            row = self.db.get(id=self.keys[idx])
+            atoms = row.toatoms()
+            numbers, positions = atoms.numbers, atoms.positions
+            data = row.data
+        else:
+            numbers, positions, data = self._lite.get(self.keys[idx])
+        targets = paper_targets(data)
         if self.target_indices is not None:
             targets = targets[self.target_indices]
             mean = self.mean[self.target_indices]
@@ -158,8 +208,8 @@ class QM9Dataset:
         if self.normalize:
             targets = (targets - mean) / std
         return GraphSample(
-            atomic_numbers=np.asarray(atoms.numbers, np.int32),
-            pos=np.asarray(atoms.positions, np.float32),
+            atomic_numbers=np.asarray(numbers, np.int32),
+            pos=np.asarray(positions, np.float32),
             y=targets,
         )
 

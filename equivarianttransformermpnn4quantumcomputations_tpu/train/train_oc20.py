@@ -120,7 +120,6 @@ def main(argv=None):
 
     import jax
     import jax.numpy as jnp
-    import optax
 
     from ..data.loader import PaddedLoader, infer_pad_sizes
     from ..data.oc20 import OC20Dataset, OC20LmdbDataset
@@ -129,9 +128,8 @@ def main(argv=None):
     from .schedules import warmup_cosine
     from .trainer import (
         init_params_host,
-        TrainState,
         create_train_state,
-        ema_update,
+        make_oc20_train_step,
         make_optimizer,
         oc20_loss,
     )
@@ -187,31 +185,10 @@ def main(argv=None):
     if primary:
         install_sigterm_checkpoint(lambda: latest["state"], ckpt)
 
-    def step_fn(state: TrainState, batch, drop_rng):
-        def loss_fn(p):
-            outs = model.apply(
-                p, batch, deterministic=False, rngs={"dropout": drop_rng}
-            )
-            return oc20_loss(
-                outs["energy"], batch["energy"], outs["forces"],
-                batch["forces"], batch["node_mask"],
-                cfg["w_energy"], cfg["w_force"],
-            )
-
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params
-        )
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        new_state = TrainState(
-            step=state.step + 1,
-            params=params,
-            opt_state=opt_state,
-            ema_params=ema_update(state.ema_params, params, cfg["ema_decay"]),
-        )
-        metrics = dict(metrics)
-        metrics["loss"] = loss
-        return new_state, metrics
+    # the shared step-builder (trainer.py) — bench.py times the same code
+    step_fn = make_oc20_train_step(
+        model, tx, cfg["w_energy"], cfg["w_force"], cfg["ema_decay"],
+    )
 
     if args.data_parallel and jax.device_count() > 1:
         # shard_map DP over all visible devices — the XLA-collective analog

