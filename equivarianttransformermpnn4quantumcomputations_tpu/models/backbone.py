@@ -351,6 +351,9 @@ class EquiformerV2Backbone(nn.Module):
                 split_rngs={"params": True, "dropout": True},
                 in_axes=nn.broadcast,
                 length=self.num_layers,
+                # layer axis carries no partition name; needed so boxed
+                # TP/EP params (nn/partition.py) flow through the scan
+                metadata_params={nn.meta.PARTITION_NAME: None},
             )
             broadcast = (
                 atomic_numbers, edge_scalars_c, edge_src, edge_dst,

@@ -122,6 +122,8 @@ class EquiformerV2QM9(nn.Module):
                 in_axes=None,
                 out_axes=0,
                 axis_size=self.num_targets,
+                # target axis carries no partition name (nn/partition.py)
+                metadata_params={nn.meta.PARTITION_NAME: None},
             )
             node_c = Heads(**head_kwargs, name="output_blocks")(out.x)
             node_c = node_c[:, :, 0, 0]  # [T, N]

@@ -189,6 +189,7 @@ class GraphAttention(nn.Module):
             extra_m0=extra_m0,
             rad_channels=None if self.use_m_share_rad else tuple(ec),
             m0_only=m0_only,
+            tp="col",
             name="so2_conv_1",
         )(
             msg,
@@ -291,6 +292,7 @@ class GraphAttention(nn.Module):
             out_channels=self.num_heads * self.attn_value_channels,
             extra_m0=0,
             rad_channels=None,
+            tp="row",
             name="so2_conv_2",
         )(msg, None, wigner=wigner if rc2 else None, rotate_back=rc2)
 
@@ -317,5 +319,6 @@ class GraphAttention(nn.Module):
             in_features=self.num_heads * self.attn_value_channels,
             out_features=self.output_channels,
             lmax=lmax,
+            tp="row",
             name="proj",
         )(agg)

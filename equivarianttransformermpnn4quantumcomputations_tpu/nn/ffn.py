@@ -14,7 +14,8 @@ import jax.numpy as jnp
 
 from ..ops.s2grid import S2Grid
 from .activations import gate_activation, s2_activation, separable_s2_activation
-from .layers import Dense, scaled_silu
+from .layers import Dense, scaled_silu, tp_dense
+from .partition import partitioned, role_names
 from .so3_layers import SO3Linear
 
 __all__ = ["FeedForward", "ESENFeedForward"]
@@ -49,7 +50,7 @@ class ESENFeedForward(nn.Module):
     def __call__(self, x):
         h = SO3Linear(
             self.sphere_channels, self.hidden_channels, self.lmax,
-            name="so3_linear_1",
+            tp="col", name="so3_linear_1",
         )(x)
         out_scalar = scaled_silu(h[:, :1, :])          # [N, 1, H]
         scalar_summary = out_scalar[:, 0, :]
@@ -58,8 +59,12 @@ class ESENFeedForward(nn.Module):
             gate = jax.nn.sigmoid(
                 Dense(
                     self.hidden_channels,
-                    kernel_init=nn.initializers.zeros,
-                    bias_init=nn.initializers.constant(2.0),
+                    kernel_init=partitioned(
+                        nn.initializers.zeros, role_names(2, "col")
+                    ),
+                    bias_init=partitioned(
+                        nn.initializers.constant(2.0), role_names(1, "col")
+                    ),
                     name=f"gate_proj_{l}",
                 )(scalar_summary)
             )
@@ -68,7 +73,7 @@ class ESENFeedForward(nn.Module):
         h = jnp.concatenate(out, axis=1)
         return SO3Linear(
             self.hidden_channels, self.output_channels, self.lmax,
-            name="so3_linear_2",
+            tp="row", name="so3_linear_2",
         )(h)
 
 
@@ -89,26 +94,32 @@ class FeedForward(nn.Module):
         if self.use_grid_mlp:
             if self.use_sep_s2_act:
                 gating = jax.nn.silu(
-                    Dense(self.hidden_channels, name="scalar_mlp")(x[:, 0, :])
+                    tp_dense(self.hidden_channels, "col",
+                             name="scalar_mlp")(x[:, 0, :])
                 )
         else:
             if self.use_gate_act:
-                gating = Dense(
-                    self.lmax * self.hidden_channels, name="gating_linear"
+                gating = tp_dense(
+                    self.lmax * self.hidden_channels, "col",
+                    name="gating_linear",
                 )(x[:, 0, :])
             elif self.use_sep_s2_act:
-                gating = Dense(self.hidden_channels, name="gating_linear")(
-                    x[:, 0, :]
-                )
+                gating = tp_dense(
+                    self.hidden_channels, "col", name="gating_linear"
+                )(x[:, 0, :])
 
         h = SO3Linear(
-            self.sphere_channels, self.hidden_channels, self.lmax, name="so3_linear_1"
+            self.sphere_channels, self.hidden_channels, self.lmax,
+            tp="col", name="so3_linear_1",
         )(x)
 
         if self.use_grid_mlp:
             g = self.grid_full.to_grid(h)
             for i in range(3):
-                g = Dense(self.hidden_channels, use_bias=False, name=f"grid_mlp_{i}")(g)
+                g = tp_dense(
+                    self.hidden_channels, "row" if i == 1 else "col",
+                    use_bias=False, name=f"grid_mlp_{i}",
+                )(g)
                 if i < 2:
                     g = jax.nn.silu(g)
             h = self.grid_full.from_grid(g)
@@ -125,5 +136,6 @@ class FeedForward(nn.Module):
                 h = s2_activation(h, self.grid_full)
 
         return SO3Linear(
-            self.hidden_channels, self.output_channels, self.lmax, name="so3_linear_2"
+            self.hidden_channels, self.output_channels, self.lmax,
+            tp="row", name="so3_linear_2",
         )(h)

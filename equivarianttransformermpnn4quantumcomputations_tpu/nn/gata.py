@@ -18,7 +18,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .layers import Dense, fan_in_normal
+from .layers import Dense, fan_in_normal, tp_dense
 
 __all__ = ["HTR", "GATAValueActivation", "gata_value_activation_v1"]
 
@@ -148,8 +148,8 @@ class GATAValueActivation(nn.Module):
         S = 1 + 2 * self.lmax
         rl_ij = rl_ij.astype(attn_output.dtype)
 
-        bias = Dense(S * C, name="W_rs")(t_ij) * jax.nn.silu(
-            Dense(S * C, name="gamma_s")(h_j)
+        bias = tp_dense(S * C, "col", name="W_rs")(t_ij) * jax.nn.silu(
+            tp_dense(S * C, "col", name="gamma_s")(h_j)
         )
         if self.use_phi:
             bias = bias * Dense(S * C, name="phi_proj")(phi_r)
@@ -158,7 +158,7 @@ class GATAValueActivation(nn.Module):
         o_s = combined[:, :C]
         out_scalar = jax.nn.silu(o_s)[:, None, :]  # [E, 1, C]
 
-        Xp = Dense(C, use_bias=False, name="xj_proj")(X_j)  # [E, K-1, C]
+        Xp = tp_dense(C, "col", use_bias=False, name="xj_proj")(X_j)  # [E, K-1, C]
 
         out_deg = []
         offset = 0

@@ -61,6 +61,23 @@ class Dense(nn.Dense):
     bias_init: nn.initializers.Initializer = nn.initializers.zeros
 
 
+def tp_dense(features: int, tp: str | None, **kwargs) -> Dense:
+    """``Dense`` carrying a tensor-parallel role annotation ('col'/'row')
+    at the parameter definition (nn/partition.py) — sharding rules move
+    with the module, not with its path name."""
+    from .partition import partitioned, role_names
+
+    return Dense(
+        features,
+        kernel_init=partitioned(fan_in_normal(), role_names(2, tp)),
+        bias_init=partitioned(
+            nn.initializers.zeros,
+            role_names(1, "col" if tp == "col" else None),
+        ),
+        **kwargs,
+    )
+
+
 def scaled_silu(x):
     return jax.nn.silu(x) * _SCALED_SILU
 

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.segment import segment_mean
-from .layers import Dense
+from .layers import Dense, tp_dense
 
 __all__ = ["EquivariantExpertFFN", "NonEquivariantExpertFFN", "MoEHTRFeedForward"]
 
@@ -40,10 +40,12 @@ class EquivariantExpertFFN(nn.Module):
     @nn.compact
     def __call__(self, x, c_i):
         """x: [N, K, C]; c_i: [N, edge_C] -> [N, K, C]."""
-        h = Dense(self.hidden_channels, use_bias=False, name="linear_1")(x)
+        h = tp_dense(self.hidden_channels, None, use_bias=False,
+                     name="linear_1")(x)
         gates = jax.nn.silu(
-            Dense(
-                self.hidden_channels * (self.lmax + 1), name="gate_proj"
+            tp_dense(
+                self.hidden_channels * (self.lmax + 1), None,
+                name="gate_proj",
             )(c_i)
         )
         out = []
@@ -55,7 +57,8 @@ class EquivariantExpertFFN(nn.Module):
             else:
                 out.append(hl * g[:, None, :])
         h = jnp.concatenate(out, axis=1)
-        return Dense(self.sphere_channels, use_bias=False, name="linear_2")(h)
+        return tp_dense(self.sphere_channels, None, use_bias=False,
+                        name="linear_2")(h)
 
 
 class NonEquivariantExpertFFN(nn.Module):
@@ -68,13 +71,13 @@ class NonEquivariantExpertFFN(nn.Module):
 
     @nn.compact
     def __call__(self, x, c_i):
-        h = Dense(self.hidden_channels, name="linear_1")(x)
+        h = tp_dense(self.hidden_channels, None, name="linear_1")(x)
         h = jax.nn.silu(h)  # SiLU on every coefficient: breaks equivariance
         gate = jax.nn.silu(
-            Dense(self.hidden_channels, name="gate_proj")(c_i)
+            tp_dense(self.hidden_channels, None, name="gate_proj")(c_i)
         )
         h = h * gate[:, None, :]
-        return Dense(self.sphere_channels, name="linear_2")(h)
+        return tp_dense(self.sphere_channels, None, name="linear_2")(h)
 
 
 class MoEHTRFeedForward(nn.Module):
@@ -123,6 +126,9 @@ class MoEHTRFeedForward(nn.Module):
                 in_axes=None,
                 out_axes=0,
                 axis_size=size,
+                # the stacked expert axis IS the EP axis: name it so
+                # parallel/sharding.py shards it over the mesh model axis
+                metadata_params={nn.meta.PARTITION_NAME: "ep"},
             )(**kw, name=name)
 
         outs = stack(EquivariantExpertFFN, n_equiv, "experts_eq")(x, c_i)

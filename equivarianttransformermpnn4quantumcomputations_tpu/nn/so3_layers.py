@@ -27,25 +27,38 @@ import numpy as np
 
 from ..ops.irreps import IrrepsLayout
 from .layers import RadialMLP, fan_in_normal
+from .partition import partitioned, role_names
 
 __all__ = ["SO3Linear", "SO2Conv", "SO2Linear"]
 
 
 class SO3Linear(nn.Module):
-    """Per-degree linear map over [N, K, C] features; bias only on l = 0."""
+    """Per-degree linear map over [N, K, C] features; bias only on l = 0.
+
+    ``tp``: tensor-parallel role ('col' shards out_features, 'row' shards
+    in_features — see nn/partition.py); None = replicated.
+    """
 
     in_features: int
     out_features: int
     lmax: int
+    tp: str | None = None
 
     @nn.compact
     def __call__(self, x):
         w = self.param(
             "weight",
-            fan_in_normal(),
+            partitioned(fan_in_normal(), role_names(3, self.tp)),
             (self.lmax + 1, self.in_features, self.out_features),
         )
-        b = self.param("bias", nn.initializers.zeros, (self.out_features,))
+        b = self.param(
+            "bias",
+            partitioned(
+                nn.initializers.zeros,
+                role_names(1, "col" if self.tp == "col" else None),
+            ),
+            (self.out_features,),
+        )
         expand = np.concatenate(
             [np.full(2 * l + 1, l) for l in range(self.lmax + 1)]
         )
@@ -75,6 +88,11 @@ class SO2Conv(nn.Module):
     out_channels: int
     extra_m0: int = 0
     rad_channels: Optional[Sequence[int]] = None
+    # tensor-parallel role: 'col' shards the packed output dim of every
+    # per-m weight, 'row' the packed input dim (nn/partition.py).  The
+    # radial MLP stays replicated either way — its outputs rescale *inputs*
+    # edge-wise (sharding it would add an all-gather per conv).
+    tp: str | None = None
     # m0_only: the caller consumes ONLY the m = 0 outputs (GATA value path —
     # reference Gotennet fork drops the m > 0 message, transformer_block.py:
     # 311-325).  Input is the pre-sliced m = 0 block [E, lmax+1, C_in]
@@ -104,18 +122,24 @@ class SO2Conv(nn.Module):
             n_rad = int(lay.m_size.sum()) * Cin
             rad = RadialMLP(tuple(self.rad_channels) + (n_rad,))(edge_scalars)
 
+        w_names = role_names(2, self.tp)
+        b_names = role_names(1, "col" if self.tp == "col" else None)
         w0 = self.param(
-            "w_m0", fan_in_normal(), (L0 * Cin, self.extra_m0 + L0 * Cout)
+            "w_m0", partitioned(fan_in_normal(), w_names),
+            (L0 * Cin, self.extra_m0 + L0 * Cout),
         )
         b0 = self.param(
-            "b_m0", nn.initializers.zeros, (self.extra_m0 + L0 * Cout,)
+            "b_m0", partitioned(nn.initializers.zeros, b_names),
+            (self.extra_m0 + L0 * Cout,),
         )
         wms = []
         for m in range(1, lay.mmax + 1):
             Lm = int(lay.m_size[m])
             wms.append((
-                self.param(f"w_m{m}_r", fan_in_normal(), (Lm * Cin, Lm * Cout)),
-                self.param(f"w_m{m}_i", fan_in_normal(), (Lm * Cin, Lm * Cout)),
+                self.param(f"w_m{m}_r", partitioned(fan_in_normal(), w_names),
+                           (Lm * Cin, Lm * Cout)),
+                self.param(f"w_m{m}_i", partitioned(fan_in_normal(), w_names),
+                           (Lm * Cin, Lm * Cout)),
             ))
 
         def wbig_of(wr, wi, dt):

@@ -25,6 +25,7 @@ from __future__ import annotations
 import functools
 import math
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -60,10 +61,14 @@ class S2Grid:
         pts = np.stack([ss * np.cos(aa), ss * np.sin(aa), zz], axis=-1)
 
         K = (lmax + 1) ** 2
-        Y = np.asarray(
-            real_sph_harm(lmax, jnp.asarray(pts, dtype=jnp.float32)),
-            dtype=np.float64,
-        ).reshape(res_beta, res_alpha, K)
+        # constant-table build; ensure_compile_time_eval so construction
+        # inside an abstract trace (jax.eval_shape of model.init — e.g. the
+        # partition-spec derivation, parallel/sharding.py) stays concrete
+        with jax.ensure_compile_time_eval():
+            Y = np.asarray(
+                real_sph_harm(lmax, jnp.asarray(pts, dtype=jnp.float32)),
+                dtype=np.float64,
+            ).reshape(res_beta, res_alpha, K)
 
         scale = math.sqrt(4.0 * math.pi) / (lmax + 1)
         to_grid = Y * scale  # [b, a, i]

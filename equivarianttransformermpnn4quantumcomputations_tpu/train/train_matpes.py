@@ -233,7 +233,9 @@ def main(argv=None):
             cfg["w_stress"] if cfg.get("regress_stress") else 0.0,
             sp=mesh_spec["sp"], ema_decay=cfg["ema_decay"],
         )
-        state = jax.device_put(state, state_shardings(mesh, state_shape))
+        state = jax.device_put(
+            state, state_shardings(mesh, state_shape, model, first_np)
+        )
         batch_sh = batch_shardings(mesh, stacked_example, sp=mesh_spec["sp"])
         if primary:
             print(

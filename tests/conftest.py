@@ -26,6 +26,21 @@ except Exception:
     pass
 jax.config.update("jax_enable_x64", False)
 
+# Persistent XLA compile cache: most of the suite's wall time is jit compiles
+# of similar tiny models; re-runs on an unchanged jax version hit the disk
+# cache (keyed by HLO hash — safe under code edits).
+try:
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("ETQ_TEST_CACHE", "/tmp/etq_jax_test_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    jax.config.update(
+        "jax_persistent_cache_enable_xla_caches", "all"
+    )
+except Exception:
+    pass
+
 import pytest  # noqa: E402
 
 

@@ -1,6 +1,7 @@
 """Mixed-precision (bf16 compute / f32 master) tests."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -67,6 +68,7 @@ def test_bf16_forward_close_to_f32():
     assert abs(e32 - e16).max() / scale < 0.05, (e32, e16)
 
 
+@pytest.mark.slow
 def test_bf16_train_step_finite_and_f32_grads():
     rng = np.random.default_rng(1)
     b = batch(rng)

@@ -57,18 +57,24 @@ def batch(rng):
 @pytest.mark.parametrize(
     "kw",
     [
+        # default tier: one per structurally distinct path; the rest are
+        # slow-tier permutations (ETQ_RUN_SLOW=1)
         # grid-MLP FFN (reference use_grid_mlp=True path)
         {"use_grid_mlp": True},
-        {"use_grid_mlp": True, "use_sep_s2_act": False},
+        pytest.param({"use_grid_mlp": True, "use_sep_s2_act": False},
+                     marks=pytest.mark.slow),
         # alternate norm types (reference layer_norm / layer_norm_sh)
         {"norm_type": "layer_norm"},
-        {"norm_type": "layer_norm_sh"},
+        pytest.param({"norm_type": "layer_norm_sh"},
+                     marks=pytest.mark.slow),
         # m-share radial weights (reference use_m_share_rad)
-        {"use_m_share_rad": True},
+        pytest.param({"use_m_share_rad": True}, marks=pytest.mark.slow),
         # no attention renorm / no atom edge embedding / shared embedding
-        {"use_attn_renorm": False},
-        {"use_atom_edge_embedding": False},
-        {"share_atom_edge_embedding": True},
+        pytest.param({"use_attn_renorm": False}, marks=pytest.mark.slow),
+        pytest.param({"use_atom_edge_embedding": False},
+                     marks=pytest.mark.slow),
+        pytest.param({"share_atom_edge_embedding": True},
+                     marks=pytest.mark.slow),
         # dropout paths active (training mode)
         {"alpha_drop": 0.2, "drop_path_rate": 0.2, "proj_drop": 0.2},
     ],

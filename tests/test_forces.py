@@ -1,6 +1,7 @@
 """Force / stress tests: autograd vs finite differences, equivariance, PBC."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -117,6 +118,7 @@ def test_matpes_stress_matches_finite_difference():
         assert abs(fd - got) < 5e-3 + 0.05 * abs(fd), (vi, fd, got)
 
 
+@pytest.mark.slow
 def test_pergraph_stress_batch_independence():
     """B=4 per-graph stress == each graph's stress computed alone (B=1).
 

@@ -149,6 +149,7 @@ def test_esen_ffn_gates_start_open():
     assert np.abs(y[:, 1:, :]).max() > 1e-3
 
 
+@pytest.mark.slow
 def test_esen_model_forward_and_grad():
     rng = np.random.default_rng(5)
     b = batch(rng)

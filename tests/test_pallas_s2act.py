@@ -2,6 +2,7 @@
 (interpret mode on CPU)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -97,6 +98,7 @@ def test_fused_under_scan_grad_of_grad():
     assert np.abs(ga - gb).max() < 5e-3, np.abs(ga - gb).max()
 
 
+@pytest.mark.slow
 def test_flagship_model_scan_layers_fused_forces():
     """Full MatPES-GATA model with scan_layers=True and the fused kernel
     (forced in interpret mode): forces match the unrolled fused model with

@@ -8,6 +8,7 @@ schedule transposes to a reverse pipeline under AD).
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from equivarianttransformermpnn4quantumcomputations_tpu.models.backbone import (
     build_block_kwargs,
@@ -26,7 +27,7 @@ from equivarianttransformermpnn4quantumcomputations_tpu.parallel.pipeline import
     pipeline_apply,
 )
 
-L = 4          # layers
+L = 4          # layers (full/slow tier; the default tier runs 2x2x2)
 PIPE = 4       # stages
 M = 3          # micro-batches
 N, E, C = 8, 32, 8
@@ -34,9 +35,9 @@ LMAX, MMAX = 2, 1
 EDGE_C, NUM_RBF = 8, 16
 
 
-def _body():
+def _body(n_layers=L):
     cfg = EquiformerV2MatPES(
-        num_layers=L, sphere_channels=C, attn_hidden_channels=C,
+        num_layers=n_layers, sphere_channels=C, attn_hidden_channels=C,
         num_heads=2, attn_alpha_channels=4, attn_value_channels=4,
         ffn_hidden_channels=C, lmax=LMAX, mmax=MMAX, edge_channels=EDGE_C,
         num_rbf=NUM_RBF, max_num_elements=10, gata=True,
@@ -79,12 +80,12 @@ def _stack_states(states):
     )
 
 
-def _setup():
+def _setup(n_layers=L, n_micro=M):
     rng = np.random.default_rng(0)
-    body = _body()
-    states = [_state(rng, i) for i in range(M)]
+    body = _body(n_layers)
+    states = [_state(rng, i) for i in range(n_micro)]
     carry0, broadcast0 = states[0]
-    keys = jax.random.split(jax.random.PRNGKey(0), L)
+    keys = jax.random.split(jax.random.PRNGKey(0), n_layers)
     stacked_params = jax.vmap(
         lambda k: body.init(k, carry0, broadcast0)["params"]
     )(keys)
@@ -111,13 +112,12 @@ def _body_fn(body):
     return fn
 
 
-def test_pipeline_matches_sequential():
-    body, stacked_params, states = _setup()
-    mesh = make_pipeline_mesh(PIPE)
+def _check_forward(body, stacked_params, states, pipe):
+    mesh = make_pipeline_mesh(pipe)
     outs = pipeline_apply(
         _body_fn(body), stacked_params, _stack_states(states), mesh
     )
-    for m in range(M):
+    for m in range(len(states)):
         (x_seq, t_seq, _) = _sequential(body, stacked_params, states[m])
         x_pipe = outs[0][0][m]
         t_pipe = outs[0][1][m]
@@ -129,9 +129,35 @@ def test_pipeline_matches_sequential():
         )
 
 
+def test_pipeline_smoke_forward():
+    """Default-tier 2-stage x 2-layer x 2-micro pipeline forward vs
+    sequential.  Gradients are covered by the slow tier AND by the driver's
+    dryrun_multichip (fwd+grad pipeline demo) — the grad-of-pipeline compile
+    alone costs ~4 min on this single-core box."""
+    body, stacked_params, states = _setup(n_layers=2, n_micro=2)
+    _check_forward(body, stacked_params, states, pipe=2)
+
+
+@pytest.mark.slow
+def test_pipeline_smoke_gradients():
+    body, stacked_params, states = _setup(n_layers=2, n_micro=2)
+    _check_gradients(body, stacked_params, states, pipe=2)
+
+
+@pytest.mark.slow
+def test_pipeline_matches_sequential():
+    body, stacked_params, states = _setup()
+    _check_forward(body, stacked_params, states, pipe=PIPE)
+
+
+@pytest.mark.slow
 def test_pipeline_gradients_match_sequential():
     body, stacked_params, states = _setup()
-    mesh = make_pipeline_mesh(PIPE)
+    _check_gradients(body, stacked_params, states, pipe=PIPE)
+
+
+def _check_gradients(body, stacked_params, states, pipe):
+    mesh = make_pipeline_mesh(pipe)
     stacked_states = _stack_states(states)
 
     def loss_pipe(sp):
@@ -142,7 +168,7 @@ def test_pipeline_gradients_match_sequential():
 
     def loss_seq(sp):
         tot = 0.0
-        for m in range(M):
+        for m in range(len(states)):
             x, _, _ = _sequential(body, sp, states[m])
             tot = tot + jnp.sum(x ** 2)
         return tot

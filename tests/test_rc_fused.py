@@ -22,6 +22,8 @@ from equivarianttransformermpnn4quantumcomputations_tpu.ops.pallas.rotate_dense 
     rotate_to_edge_m0_dense,
 )
 
+pytestmark = pytest.mark.slow  # ETQ_RC_FUSED kernels are default-off (PERF.md r3)
+
 LMAX, MMAX = 2, 1
 E, CA, CB = 256, 128, 128
 EXTRA = 64

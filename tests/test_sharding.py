@@ -79,7 +79,7 @@ def stacked_batch(rng, n_micro):
     }
 
 
-def _setup(model_kw=None, n_micro=4, model_parallel=2):
+def _setup(model_kw=None, n_micro=4, model_parallel=2, n_devices=8):
     model = EquiformerV2MatPES(**{**TINY, **(model_kw or {})})
     rng = np.random.default_rng(0)
     stacked = stacked_batch(rng, n_micro)
@@ -87,8 +87,36 @@ def _setup(model_kw=None, n_micro=4, model_parallel=2):
     params = model.init(jax.random.PRNGKey(0), single)
     tx = make_optimizer(warmup_cosine(1e-3, 10, 100), weight_decay=1e-3)
     state = create_train_state(params, tx)
-    mesh = make_composite_mesh(8, model_parallel=model_parallel)
-    return model, tx, mesh, state, stacked
+    mesh = make_composite_mesh(n_devices, model_parallel=model_parallel)
+    return model, tx, mesh, state, stacked, single
+
+
+def _run_composite(model, tx, mesh, state, stacked, single, sp, n_micro):
+    state_shape = jax.eval_shape(lambda s: s, state)
+    step = make_composite_matpes_step(
+        model, tx, mesh, state_shape, stacked, sp=sp
+    )
+    st_sh = state_shardings(mesh, state_shape, model, single)
+    b_sh = batch_shardings(mesh, stacked, sp=sp)
+    state_d = jax.device_put(state, st_sh)
+    stacked_d = {k: jax.device_put(v, b_sh[k]) for k, v in stacked.items()}
+    rng = jax.random.PRNGKey(1)
+    expect = float(
+        reference_loss(
+            model, state.params, stacked, jax.random.split(rng, n_micro)
+        )
+    )
+    params0 = jax.tree_util.tree_map(np.asarray, state.params)
+    new_state, metrics = step(state_d, stacked_d, rng)
+    loss = float(metrics["loss"])
+    assert np.isfinite(loss)
+    np.testing.assert_allclose(loss, expect, rtol=2e-5)
+    assert int(new_state.step) == 1
+    moved = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(np.asarray(a) - b))),
+        new_state.params, params0,
+    )
+    assert max(jax.tree_util.tree_leaves(moved)) > 0.0
 
 
 def reference_loss(model, params, stacked, rngs):
@@ -107,48 +135,32 @@ def reference_loss(model, params, stacked, rngs):
     )
 
 
+def test_composite_step_smoke():
+    """Default tier: 1-layer model, data=2 x model=2 mesh, with SP — the
+    full 8-device 2-layer variants are slow-tier."""
+    model, tx, mesh, state, stacked, single = _setup(
+        model_kw={"num_layers": 1}, n_micro=2, n_devices=4
+    )
+    _run_composite(model, tx, mesh, state, stacked, single, sp=True,
+                   n_micro=2)
+
+
+@pytest.mark.slow
 @pytest.mark.parametrize("sp", [False, True])
 def test_composite_step_matches_unsharded(sp):
-    model, tx, mesh, state, stacked = _setup()
-    state_shape = jax.eval_shape(lambda s: s, state)
-    step = make_composite_matpes_step(
-        model, tx, mesh, state_shape, stacked, sp=sp
-    )
-    # device_put with the same shardings the step expects
-    st_sh = state_shardings(mesh, state_shape)
-    b_sh = batch_shardings(mesh, stacked, sp=sp)
-    state_d = jax.device_put(state, st_sh)
-    stacked_d = {k: jax.device_put(v, b_sh[k]) for k, v in stacked.items()}
-
-    rng = jax.random.PRNGKey(1)
-    # compute before the step: donation consumes the input state buffers
-    expect = float(
-        reference_loss(
-            model, state.params, stacked, jax.random.split(rng, 4)
-        )
-    )
-    params0 = jax.tree_util.tree_map(np.asarray, state.params)
-
-    new_state, metrics = step(state_d, stacked_d, rng)
-    loss = float(metrics["loss"])
-    assert np.isfinite(loss)
-    np.testing.assert_allclose(loss, expect, rtol=2e-5)
-    assert int(new_state.step) == 1
-    # params actually moved
-    moved = jax.tree_util.tree_map(
-        lambda a, b: float(jnp.max(jnp.abs(np.asarray(a) - b))),
-        new_state.params, params0,
-    )
-    assert max(jax.tree_util.tree_leaves(moved)) > 0.0
+    model, tx, mesh, state, stacked, single = _setup()
+    _run_composite(model, tx, mesh, state, stacked, single, sp=sp, n_micro=4)
 
 
-def test_composite_step_moe_expert_parallel():
-    """EP: stacked expert axis sharded over 'model'; step runs and matches."""
-    model, tx, mesh, state, stacked = _setup(
-        model_kw={"ffn_variant": "moe", "num_experts": 4}
+def test_moe_expert_specs_are_sharded():
+    """EP (default tier): stacked expert axis gets a metadata-derived
+    'model'-sharded spec."""
+    model = EquiformerV2MatPES(
+        **{**TINY, "ffn_variant": "moe", "num_experts": 4}
     )
-    # expert leaves actually get a sharded spec
-    specs = param_partition_spec(state.params, model_size=2)
+    rng = np.random.default_rng(0)
+    single = {k: v[0] for k, v in stacked_batch(rng, 1).items()}
+    specs = param_partition_spec(model, single, model_size=2)
     flat = jax.tree_util.tree_flatten_with_path(specs)[0]
     expert_specs = [
         s for p, s in flat if "experts_eq" in jax.tree_util.keystr(p)
@@ -157,9 +169,16 @@ def test_composite_step_moe_expert_parallel():
         "model" in str(s) for s in expert_specs
     ), expert_specs
 
+
+@pytest.mark.slow
+def test_composite_step_moe_expert_parallel():
+    """EP: stacked expert axis sharded over 'model'; step runs and matches."""
+    model, tx, mesh, state, stacked, single = _setup(
+        model_kw={"ffn_variant": "moe", "num_experts": 4}
+    )
     state_shape = jax.eval_shape(lambda s: s, state)
     step = make_composite_matpes_step(model, tx, mesh, state_shape, stacked)
-    st_sh = state_shardings(mesh, state_shape)
+    st_sh = state_shardings(mesh, state_shape, model, single)
     b_sh = batch_shardings(mesh, stacked)
     state_d = jax.device_put(state, st_sh)
     stacked_d = {k: jax.device_put(v, b_sh[k]) for k, v in stacked.items()}
@@ -176,8 +195,8 @@ def test_composite_step_moe_expert_parallel():
 
 def test_tp_specs_cover_big_gemms():
     """The Megatron pairs (FFN + attention) are actually sharded."""
-    model, _, _, state, _ = _setup()
-    specs = param_partition_spec(state.params, model_size=2)
+    model, _, _, state, _, single = _setup()
+    specs = param_partition_spec(model, single, model_size=2)
     flat = jax.tree_util.tree_flatten_with_path(specs)[0]
     by_path = {jax.tree_util.keystr(p): s for p, s in flat}
     hit = {
@@ -222,7 +241,7 @@ def test_no_big_param_silently_replicated():
                               uniform=True)
     batch = {k: jnp.asarray(v) for k, v in raw.items()}
     shapes = model.init(jax.random.PRNGKey(0), batch)
-    specs = param_partition_spec(shapes, model_size=2)
+    specs = param_partition_spec(model, batch, model_size=2)
     flat_shape = {
         jax.tree_util.keystr(p): v
         for p, v in jax.tree_util.tree_flatten_with_path(shapes)[0]

@@ -4,6 +4,7 @@ checkpoints round-trip, loader prefetch works."""
 import os
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 

@@ -7,6 +7,7 @@ and per-graph results must be identical to the packed layout.
 """
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -108,6 +109,7 @@ def crystals(rng, ns):
     return out
 
 
+@pytest.mark.slow
 def test_uniform_model_matches_packed():
     """Same graphs + params: uniform-blocked model == packed model
     (energies per graph and forces per real atom)."""
