@@ -129,11 +129,12 @@ def _check_forward(body, stacked_params, states, pipe):
         )
 
 
+@pytest.mark.slow
 def test_pipeline_smoke_forward():
-    """Default-tier 2-stage x 2-layer x 2-micro pipeline forward vs
-    sequential.  Gradients are covered by the slow tier AND by the driver's
-    dryrun_multichip (fwd+grad pipeline demo) — the grad-of-pipeline compile
-    alone costs ~4 min on this single-core box."""
+    """2-stage x 2-layer x 2-micro pipeline forward vs sequential.  Slow
+    tier: the driver runs the pipeline fwd+grad demo every round
+    (__graft_entry__.dryrun_multichip), so the default tier does not pay the
+    ~1-4 min shard_map pipeline compiles."""
     body, stacked_params, states = _setup(n_layers=2, n_micro=2)
     _check_forward(body, stacked_params, states, pipe=2)
 

@@ -47,6 +47,7 @@ TINY = dict(
 )
 
 
+@pytest.mark.slow
 def test_qm9_training_reduces_loss(tmp_path):
     ds = SyntheticMolecules(n_samples=32, n_atoms=6, targets=1)
     n_pad, e_pad = infer_pad_sizes(ds, 4.0, 12, batch_size=8)
