@@ -59,6 +59,9 @@ REMAT = os.environ.get("ETQ_BENCH_REMAT", "0") == "1"
 # scan_layers=True (fast compile) — their numbers are scan-path numbers.
 SCAN = os.environ.get("ETQ_BENCH_SCAN", "0") == "1"
 UNIFORM = os.environ.get("ETQ_BENCH_UNIFORM", "1") == "1"
+# fixed-degree edge layout: every node owns k = e_pad/n_pad edge slots, so
+# dst-keyed segment ops are reshape-reductions (no one-hot GEMMs / copies)
+FIXED_DEGREE = os.environ.get("ETQ_BENCH_FIXED_DEGREE", "0") == "1"
 # comma list: any of matpes,qm9,oc20
 WORKLOADS = os.environ.get("ETQ_BENCH_WORKLOADS", "matpes,qm9,oc20")
 RETRIES = int(os.environ.get("ETQ_BENCH_RETRIES", 2))
@@ -104,6 +107,7 @@ def _provenance():
         "bf16": BF16,
         "remat": REMAT,
         "uniform_blocks": UNIFORM,
+        "fixed_degree": FIXED_DEGREE,
         "flagship_shape": {
             "n_graphs": N_GRAPHS, "atoms_per_graph": ATOMS_PER_GRAPH,
             "n_pad": N_PAD, "e_pad": E_PAD, "timed_steps": STEPS,
@@ -245,12 +249,12 @@ def bench_matpes():
         edge_channels=128, num_rbf=600, max_num_elements=100, gata=True,
         alpha_drop=0.0, drop_path_rate=0.0, scan_layers=SCAN,
         compute_dtype="bfloat16" if BF16 else "float32", remat=REMAT,
-        uniform_blocks=UNIFORM,
+        uniform_blocks=UNIFORM, fixed_degree=FIXED_DEGREE,
     )
     rng = np.random.default_rng(0)
     raw = _synthetic_batch(
         rng, N_GRAPHS, ATOMS_PER_GRAPH, N_PAD, E_PAD, max_neighbors=20,
-        uniform=UNIFORM,
+        uniform=UNIFORM, fixed_degree=FIXED_DEGREE,
     )
     batch = {k: jnp.asarray(v) for k, v in raw.items()}
     params = init_params_host(model, jax.random.PRNGKey(0), batch)

@@ -194,6 +194,7 @@ def collate(
     n_pad: int,
     e_pad: int,
     uniform: bool = False,
+    fixed_degree: bool = False,
 ) -> PaddedBatch:
     """Build graphs per sample and pack into one padded batch.
 
@@ -209,14 +210,38 @@ def collate(
     block-diagonally (``blocks=(B, n_max, e_max)`` in ops/segment.py), which
     is linear instead of quadratic in batch size.  Costs some padding slack
     vs the packed layout.
+
+    ``fixed_degree=True`` (implies uniform): additionally, every node owns
+    exactly ``k = e_max // n_max`` consecutive edge slots — edge slot
+    ``i*k + j`` is the j-th incoming edge of local node i (padded slots
+    carry mask False with dst = their own node).  Requires
+    ``k >= max_neighbors``.  With this layout every dst-keyed segment
+    reduction / softmax / gather is a plain [N, k, ...] reshape-reduction
+    (ops/segment.py ``fixed_dst=True``) — no one-hot GEMMs, no scatter, no
+    layout copies.  A fixed-degree batch is also a valid uniform batch.
     """
     B = len(samples)
+    if fixed_degree:
+        uniform = True
     if uniform and (n_pad % B or e_pad % B):
         raise ValueError(
             f"uniform collate needs n_pad/e_pad divisible by B={B}"
         )
     n_max = n_pad // B if uniform else None
     e_max = e_pad // B if uniform else None
+    k_deg = None
+    if fixed_degree:
+        if e_max % n_max:
+            raise ValueError(
+                f"fixed_degree needs e_max ({e_max}) divisible by n_max "
+                f"({n_max})"
+            )
+        k_deg = e_max // n_max
+        if max_neighbors is not None and k_deg < max_neighbors:
+            raise ValueError(
+                f"fixed_degree slot count k={k_deg} < max_neighbors="
+                f"{max_neighbors}"
+            )
     az = np.zeros(n_pad, np.int32)
     pos = np.zeros((n_pad, 3), np.float32)
     gidx = np.zeros(n_pad, np.int32)
@@ -226,10 +251,19 @@ def collate(
     if uniform:
         # padding nodes/edges belong to their own block
         gidx = np.repeat(np.arange(B, dtype=np.int32), n_max)
-        esrc = np.repeat(
-            np.arange(B, dtype=np.int32) * n_max, e_max
-        ).astype(np.int32)
-        edst = esrc.copy()
+        if fixed_degree:
+            # every slot's dst is its owning node (canonical pattern
+            # e -> e // k), padding included — dst-keyed reshape-reductions
+            # stay in-node
+            edst = np.repeat(
+                np.arange(B * n_max, dtype=np.int32), k_deg
+            )
+            esrc = edst.copy()
+        else:
+            esrc = np.repeat(
+                np.arange(B, dtype=np.int32) * n_max, e_max
+            ).astype(np.int32)
+            edst = esrc.copy()
     else:
         esrc = np.zeros(e_pad, np.int32)
         edst = np.zeros(e_pad, np.int32)
@@ -285,11 +319,28 @@ def collate(
         order = np.argsort(dst, kind="stable")
         src, dst, shift = src[order], dst[order], shift[order]
         e = min(src.size, e_cap)
-        esl = slice(edge_off, edge_off + e)
-        esrc[esl] = src[:e] + node_off
-        edst[esl] = dst[:e] + node_off
-        eshift[esl] = shift[:e]
-        emask[esl] = True
+        if fixed_degree:
+            # slot = dst * k + rank-within-dst (dst-sorted, so rank =
+            # index - group start); degree <= k by the max_neighbors cap
+            d = dst[:e]
+            first = np.ones(e, dtype=bool)
+            first[1:] = d[1:] != d[:-1]
+            group_start = np.maximum.accumulate(
+                np.where(first, np.arange(e), 0)
+            )
+            rank = np.arange(e) - group_start
+            ok = rank < k_deg          # safety when max_neighbors is None
+            slots = edge_off + d[ok] * k_deg + rank[ok]
+            esrc[slots] = src[:e][ok] + node_off
+            edst[slots] = d[ok] + node_off
+            eshift[slots] = shift[:e][ok]
+            emask[slots] = True
+        else:
+            esl = slice(edge_off, edge_off + e)
+            esrc[esl] = src[:e] + node_off
+            edst[esl] = dst[:e] + node_off
+            eshift[esl] = shift[:e]
+            emask[esl] = True
         if y is not None:
             y[b] = s.y
         if energy is not None:

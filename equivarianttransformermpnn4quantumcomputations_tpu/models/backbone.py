@@ -161,6 +161,12 @@ class EquiformerV2Backbone(nn.Module):
     # transposes are block-diagonal — one-hot FLOPs LINEAR in batch size
     # instead of quadratic (the PERF.md batch-16 regression)
     uniform_blocks: bool = False
+    # fixed-degree edge layout (collate(fixed_degree=True)): every node owns
+    # exactly k = e_pad/n_pad consecutive edge slots, so every dst-keyed
+    # segment reduction/softmax/gather is a plain [N, k, ...] reshape
+    # reduction — no one-hot GEMMs, no scatter, no layout copies (the
+    # round-3 roofline's biggest movement bucket).  Implies uniform_blocks.
+    fixed_degree: bool = False
 
     @nn.compact
     def __call__(
@@ -183,7 +189,7 @@ class EquiformerV2Backbone(nn.Module):
         num_graphs = cell.shape[0]
         cdt = jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
         blocks = None
-        if self.uniform_blocks:
+        if self.uniform_blocks or self.fixed_degree:
             E = edge_src.shape[0]
             if N % num_graphs or E % num_graphs:
                 raise ValueError(
@@ -191,6 +197,13 @@ class EquiformerV2Backbone(nn.Module):
                     "number of graphs (use collate(uniform=True))"
                 )
             blocks = (num_graphs, N // num_graphs, E // num_graphs)
+            if self.fixed_degree:
+                if E % N:
+                    raise ValueError(
+                        "fixed_degree requires e_pad divisible by n_pad "
+                        "(use collate(fixed_degree=True))"
+                    )
+                blocks = blocks + (E // N,)
 
         # ── displacements (grad-carrying) ─────────────────────────────────
         shift_cart = jnp.einsum(
@@ -199,7 +212,8 @@ class EquiformerV2Backbone(nn.Module):
             cell[graph_idx[edge_dst]],
         )
         dvec = (
-            gather_nodes(pos, edge_dst, blocks=blocks) + shift_cart
+            gather_nodes(pos, edge_dst, blocks=blocks, canonical_dst=True)
+            + shift_cart
             - gather_nodes(pos, edge_src, blocks=blocks)
         )  # [E, 3]
         dist = jnp.sqrt(jnp.maximum(jnp.sum(dvec * dvec, -1), 1e-12))
@@ -297,7 +311,8 @@ class EquiformerV2Backbone(nn.Module):
             h = x[:, 0, :]
             h_sum = Dense(self.edge_channels, name="h_proj")(
                 gather_nodes(h, edge_src, blocks=blocks)
-                + gather_nodes(h, edge_dst, blocks=blocks)
+                + gather_nodes(h, edge_dst, blocks=blocks,
+                               canonical_dst=True)
             )
             t_ij = h_sum * Dense(self.edge_channels, name="W_erp")(phi_r)
             if self.dual_stream:
@@ -306,7 +321,8 @@ class EquiformerV2Backbone(nn.Module):
                 # into a committed model file; this mirrors the t_ij recipe)
                 a_ij = Dense(self.edge_channels, name="a_h_proj")(
                     gather_nodes(h, edge_src, blocks=blocks)
-                    + gather_nodes(h, edge_dst, blocks=blocks)
+                    + gather_nodes(h, edge_dst, blocks=blocks,
+                                   canonical_dst=True)
                 ) * Dense(self.edge_channels, name="a_W_erp")(phi_r)
 
         # ── transformer blocks ────────────────────────────────────────────

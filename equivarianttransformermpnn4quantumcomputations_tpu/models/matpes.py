@@ -81,6 +81,7 @@ class EquiformerV2MatPES(nn.Module):
     remat: bool = True
     scan_layers: bool = False
     uniform_blocks: bool = False
+    fixed_degree: bool = False
     compute_dtype: str = "float32"
 
     @nn.compact
@@ -125,6 +126,7 @@ class EquiformerV2MatPES(nn.Module):
             remat=self.remat,
             scan_layers=self.scan_layers,
             uniform_blocks=self.uniform_blocks,
+            fixed_degree=self.fixed_degree,
             compute_dtype=self.compute_dtype,
             name="backbone",
         )(

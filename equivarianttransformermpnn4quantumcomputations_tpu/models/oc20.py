@@ -60,6 +60,7 @@ class EquiformerV2OC20(nn.Module):
     remat: bool = False
     scan_layers: bool = False
     uniform_blocks: bool = False
+    fixed_degree: bool = False
     compute_dtype: str = "float32"
 
     @nn.compact
@@ -94,6 +95,7 @@ class EquiformerV2OC20(nn.Module):
             remat=self.remat,
             scan_layers=self.scan_layers,
             uniform_blocks=self.uniform_blocks,
+            fixed_degree=self.fixed_degree,
             compute_dtype=self.compute_dtype,
             name="backbone",
         )(

@@ -49,6 +49,7 @@ class EquiformerV2QM9(nn.Module):
     remat: bool = False
     scan_layers: bool = False
     uniform_blocks: bool = False
+    fixed_degree: bool = False
     # one vmapped head stack (stacked params, batched einsums) instead of
     # num_targets sequential FFN heads — same math, ~num_targets x fewer
     # kernel launches
@@ -88,6 +89,7 @@ class EquiformerV2QM9(nn.Module):
             remat=self.remat,
             scan_layers=self.scan_layers,
             uniform_blocks=self.uniform_blocks,
+            fixed_degree=self.fixed_degree,
             compute_dtype=self.compute_dtype,
             name="backbone",
         )(

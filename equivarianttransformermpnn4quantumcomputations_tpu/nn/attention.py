@@ -117,7 +117,8 @@ class GraphAttention(nn.Module):
 
         # ── gather node features to edges ─────────────────────────────────
         x_src = gather_nodes(x, edge_src, blocks=self.blocks)
-        x_dst = gather_nodes(x, edge_dst, blocks=self.blocks)
+        x_dst = gather_nodes(x, edge_dst, blocks=self.blocks,
+                             canonical_dst=True)
         if self.gata or self.gata_v1:
             # unrotated-frame neighbour features (reference Gotennet fork
             # transformer_block.py:255-267 gathers the *target* embedding)
@@ -217,7 +218,7 @@ class GraphAttention(nn.Module):
             # scatter path (measured on par with the sorted-scan path at H=8)
             return segment_softmax(
                 logits, edge_dst, num_segments=num_nodes, mask=edge_mask,
-                blocks=self.blocks,
+                blocks=self.blocks, fixed_dst=True,
             )
 
         # ── value activation ──────────────────────────────────────────────
@@ -311,7 +312,7 @@ class GraphAttention(nn.Module):
             msg = rotate_from_edge(wigner, msg, self.layout_red)
         agg = segment_sum(
             msg, edge_dst, num_segments=num_nodes, mask=edge_mask,
-            sorted_ids=True, blocks=self.blocks,
+            sorted_ids=True, blocks=self.blocks, fixed_dst=True,
         )
 
         # ── output projection ─────────────────────────────────────────────

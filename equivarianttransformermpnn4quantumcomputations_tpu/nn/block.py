@@ -130,7 +130,8 @@ class TransBlock(nn.Module):
             # HTR refines the edge stream from the *current* features
             # (reference Gotennet fork transformer_block.py:595-613)
             X_i = gather_nodes(x, edge_src, blocks=self.blocks)[:, 1:, :]
-            X_j = gather_nodes(x, edge_dst, blocks=self.blocks)[:, 1:, :]
+            X_j = gather_nodes(x, edge_dst, blocks=self.blocks,
+                               canonical_dst=True)[:, 1:, :]
             t_ij = HTR(
                 sphere_channels=self.sphere_channels,
                 edge_channels=self.edge_channels,

@@ -59,7 +59,8 @@ class AngularHTR(nn.Module):
             d = 2 * l + 1
             Xl = X_all[:, offset : offset + d, :]
             offset += d
-            Xl_dst = gather_nodes(Xl, edge_dst, blocks=blocks)
+            Xl_dst = gather_nodes(Xl, edge_dst, blocks=blocks,
+                                  canonical_dst=True)
             Xj_q = Dense(self.edge_channels, use_bias=False, name=f"W_q_{l}")(
                 Xl_dst
             )
@@ -97,10 +98,12 @@ class TensorProductFFN(nn.Module):
     def __call__(self, x, t_ij, a_ij, edge_dst, edge_mask, blocks=None):
         N = x.shape[0]
         c_i = segment_mean(
-            t_ij, edge_dst, num_segments=N, mask=edge_mask, blocks=blocks
+            t_ij, edge_dst, num_segments=N, mask=edge_mask, blocks=blocks,
+            fixed_dst=True,
         )
         c_a = segment_mean(
-            a_ij, edge_dst, num_segments=N, mask=edge_mask, blocks=blocks
+            a_ij, edge_dst, num_segments=N, mask=edge_mask, blocks=blocks,
+            fixed_dst=True,
         )
         c_i = jnp.nan_to_num(c_i, nan=0.0, posinf=1.0, neginf=-1.0)
         c_a = jnp.nan_to_num(c_a, nan=0.0, posinf=1.0, neginf=-1.0)

@@ -75,6 +75,6 @@ class EdgeDegreeEmbedding(nn.Module):
         x_edge_emb = rotate_from_edge(wigner, x_edge_emb, lay)
         out = segment_sum(
             x_edge_emb, edge_dst, num_segments=num_nodes, mask=edge_mask,
-            sorted_ids=True, blocks=self.blocks,
+            sorted_ids=True, blocks=self.blocks, fixed_dst=True,
         )
         return out / self.rescale_factor

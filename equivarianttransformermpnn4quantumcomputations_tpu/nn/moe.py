@@ -93,7 +93,8 @@ class MoEHTRFeedForward(nn.Module):
         """x: [N, K, C]; t_ij: [E, edge_C] -> ([N, K, C], routing_entropy)."""
         N = x.shape[0]
         c_i = segment_mean(
-            t_ij, edge_dst, num_segments=N, mask=edge_mask, blocks=blocks
+            t_ij, edge_dst, num_segments=N, mask=edge_mask, blocks=blocks,
+            fixed_dst=True,
         )
         c_i = jnp.nan_to_num(c_i, nan=0.0, posinf=1.0, neginf=-1.0)
 

@@ -30,6 +30,8 @@ __all__ = ["gather_nodes", "segment_sum_sorted_pallas"]
 def _seg_sum_impl(vals2d, ids, num_segments: int, blocks):
     E, D = vals2d.shape
     if blocks is not None:
+        blocks = blocks[:3]
+    if blocks is not None:
         # graph-uniform blocking (collate(uniform=True)): graph b owns nodes
         # [b*n_max, (b+1)*n_max) and edges [b*e_max, (b+1)*e_max), so the
         # one-hot contraction is B independent [e_max, n_max] blocks —
@@ -101,7 +103,7 @@ def segment_sum_sorted_pallas(vals, ids, num_segments: int, blocks=None):
     return out.reshape((num_segments,) + vals.shape[1:])
 
 
-def gather_nodes(x, ids, blocks=None):
+def gather_nodes(x, ids, blocks=None, canonical_dst=False):
     """Node->edge gather whose EVERY-order transpose is the matmul
     segment-sum instead of an XLA scatter-add.
 
@@ -112,9 +114,21 @@ def gather_nodes(x, ids, blocks=None):
     ``blocks=(B, n_max, e_max)`` makes every transpose block-diagonal
     (linear in batch size; requires collate(uniform=True) layout).
 
+    ``canonical_dst=True`` with a fixed-degree layout (``blocks`` carries a
+    4th element k; collate(fixed_degree=True): edge slot e belongs to dst
+    node e // k) turns the gather into a broadcast — its transpose is a pure
+    [N, k, D] axis-1 reduction: no one-hot GEMM, no layout copies, exact at
+    every AD order through plain XLA.
+
     x: [N, ...]; ids: [E] -> [E, ...].
     """
     N = x.shape[0]
+    if canonical_dst and blocks is not None and len(blocks) > 3:
+        k = blocks[3]
+        out = jnp.broadcast_to(
+            x[:, None], (N, k) + x.shape[1:]
+        )
+        return out.reshape((N * k,) + x.shape[1:])
     flat = x.reshape(N, -1)
     out = _gather(flat, ids, N, blocks)
     return out.reshape((ids.shape[0],) + x.shape[1:])

@@ -29,7 +29,7 @@ _MATMUL_SEGMENT_MAX_ELEMS = int(
 
 def segment_sum(values, segment_ids, num_segments: int, mask=None,
                 method: str = "auto", sorted_ids: bool = False,
-                blocks=None):
+                blocks=None, fixed_dst: bool = False):
     """Sum ``values`` ([E, ...]) into ``num_segments`` buckets.
 
     Padded entries (mask False) contribute zero.  method: 'auto' | 'scatter'
@@ -43,6 +43,12 @@ def segment_sum(values, segment_ids, num_segments: int, mask=None,
     ``blocks=(B, n_max, e_max)``: graph-uniform block-diagonal one-hot
     (requires data/graph.py collate(uniform=True) layout) — O(B e_max n_max)
     instead of O(E N), linear in batch size.
+
+    ``fixed_dst=True`` + a 4-element ``blocks=(B, n_max, e_max, k)``
+    (fixed-degree layout, collate(fixed_degree=True)): the caller asserts
+    ``segment_ids`` is the canonical dst pattern (edge slot e -> node
+    e // k), and the reduction becomes a plain [N, k, D] axis-1 sum — no
+    GEMM at all.
     """
     del sorted_ids
     if mask is not None:
@@ -50,8 +56,19 @@ def segment_sum(values, segment_ids, num_segments: int, mask=None,
             mask.shape + (1,) * (values.ndim - 1)
         )
     E = values.shape[0]
+    if (
+        fixed_dst
+        and blocks is not None
+        and len(blocks) > 3
+        and E == num_segments * blocks[3]
+    ):
+        # fixed-degree layout (collate(fixed_degree=True)): edge slot e
+        # belongs to dst node e // k — the segment sum is a plain [N, k, D]
+        # axis-1 reduction (VPU/HBM-bound, no one-hot GEMM, no copies)
+        k = blocks[3]
+        return values.reshape((num_segments, k) + values.shape[1:]).sum(1)
     if blocks is not None and values.ndim > 1:
-        B, n_max, e_max = blocks
+        B, n_max, e_max = blocks[:3]
         if E == B * e_max and num_segments == B * n_max:
             flat = values.reshape(B, e_max, -1)
             lid = segment_ids.reshape(B, e_max) - (
@@ -82,10 +99,16 @@ def segment_sum(values, segment_ids, num_segments: int, mask=None,
 
 
 def segment_mean(values, segment_ids, num_segments: int, mask=None,
-                 blocks=None):
-    s = segment_sum(values, segment_ids, num_segments, mask, blocks=blocks)
-    ones = jnp.ones(values.shape[0], dtype=values.dtype)
-    cnt = segment_sum(ones, segment_ids, num_segments, mask)
+                 blocks=None, fixed_dst: bool = False):
+    s = segment_sum(values, segment_ids, num_segments, mask, blocks=blocks,
+                    fixed_dst=fixed_dst)
+    ones = jnp.ones(values.shape[0] if mask is None else mask.shape[0],
+                    dtype=values.dtype)
+    if fixed_dst and blocks is not None and len(blocks) > 3:
+        m = ones if mask is None else mask.astype(values.dtype)
+        cnt = m.reshape(num_segments, blocks[3]).sum(1)
+    else:
+        cnt = segment_sum(ones, segment_ids, num_segments, mask)
     cnt = cnt.reshape(cnt.shape + (1,) * (values.ndim - 1))
     return s / jnp.maximum(cnt, 1.0)
 
@@ -193,8 +216,29 @@ def _segment_softmax_blocked(logits, segment_ids, blocks, mask):
     return out.reshape((E,) + logits.shape[1:]).astype(in_dtype)
 
 
+def _segment_softmax_fixed(logits, k: int, mask):
+    """Fixed-degree softmax: [N*k, H] -> per-node softmax over the k slots.
+    Pure reshape + axis-1 reductions; no scatter, no one-hot, no scans."""
+    in_dtype = logits.dtype
+    E = logits.shape[0]
+    lg = logits.astype(jnp.float32).reshape((E // k, k, -1))     # [N, k, H]
+    neg = jnp.asarray(-1e30, jnp.float32)
+    if mask is not None:
+        lg = jnp.where(mask.reshape(E // k, k, 1), lg, neg)
+    seg_max = jax.lax.stop_gradient(
+        jnp.maximum(jnp.max(lg, axis=1, keepdims=True), neg)
+    )
+    ex = jnp.exp(lg - seg_max)
+    if mask is not None:
+        ex = ex * mask.reshape(E // k, k, 1).astype(ex.dtype)
+    denom = jnp.sum(ex, axis=1, keepdims=True)
+    out = ex / jnp.maximum(denom, 1e-16)
+    return out.reshape((E,) + logits.shape[1:]).astype(in_dtype)
+
+
 def segment_softmax(logits, segment_ids, num_segments: int, mask=None,
-                    sorted_ids: bool = False, blocks=None):
+                    sorted_ids: bool = False, blocks=None,
+                    fixed_dst: bool = False):
     """Numerically-stable softmax over segments of the leading axis.
 
     Args:
@@ -203,14 +247,24 @@ def segment_softmax(logits, segment_ids, num_segments: int, mask=None,
         mask: [E] bool, False for padded edges (their weight becomes 0).
         sorted_ids: if True, use the scatter-free sorted-scan path.
         blocks: (B, n_max, e_max) graph-uniform layout -> fully scatter-free
-            block-dense path.
+            block-dense path; with a 4th element k AND ``fixed_dst=True``
+            (fixed-degree layout), a plain [N, k, H] axis-1 softmax.
     Returns:
         [E, ...] normalized weights summing to 1 within each real segment.
     """
+    if (
+        fixed_dst
+        and blocks is not None
+        and len(blocks) > 3
+        and logits.shape[0] == num_segments * blocks[3]
+    ):
+        return _segment_softmax_fixed(logits, blocks[3], mask)
     if blocks is not None and logits.ndim > 1:
-        B, n_max, e_max = blocks
+        B, n_max, e_max = blocks[:3]
         if logits.shape[0] == B * e_max and num_segments == B * n_max:
-            return _segment_softmax_blocked(logits, segment_ids, blocks, mask)
+            return _segment_softmax_blocked(
+                logits, segment_ids, blocks[:3], mask
+            )
     if sorted_ids:
         return segment_softmax_sorted(logits, segment_ids, mask)
     in_dtype = logits.dtype

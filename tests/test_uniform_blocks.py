@@ -182,3 +182,126 @@ def test_blocked_segment_softmax_matches_flat():
 
     g_flat, g_blk = loss(None), loss((B, n_max, e_max))
     assert np.abs(g_flat - g_blk).max() < 1e-6
+
+
+# ── fixed-degree layout (collate(fixed_degree=True)) ───────────────────────
+
+
+def test_fixed_degree_collate_canonical_pattern():
+    """Edge slot e belongs to dst node e // k; masked slots self-referent."""
+    rng = np.random.default_rng(4)
+    samples = crystals(rng, [4, 3])
+    pb = collate(samples, 5.0, 8, n_pad=10, e_pad=80, fixed_degree=True)
+    k = 8
+    canon = np.repeat(np.arange(10), k)
+    assert np.array_equal(pb.edge_dst, canon)
+    # real edges of node n occupy that node's slots
+    em = pb.edge_mask.reshape(10, k)
+    # graph 0 has 4 real atoms of 5 slots; padding node rows are all-masked
+    assert not em[4].any()
+    # each real node's dvec set equals the packed layout's for that node
+    pb2 = collate(samples, 5.0, 8, n_pad=10, e_pad=80, uniform=True)
+    for n in range(10):
+        mine = set(
+            map(tuple, np.c_[pb.edge_src, pb.edge_shift][
+                (pb.edge_dst == n) & pb.edge_mask
+            ])
+        )
+        theirs = set(
+            map(tuple, np.c_[pb2.edge_src, pb2.edge_shift][
+                (pb2.edge_dst == n) & pb2.edge_mask
+            ])
+        )
+        assert mine == theirs, n
+
+
+def test_fixed_degree_segment_ops_match_generic():
+    """fixed_dst reshape-reductions == generic segment ops (incl. grads)."""
+    from equivarianttransformermpnn4quantumcomputations_tpu.ops.segment import (
+        segment_mean,
+        segment_softmax,
+    )
+
+    rng = np.random.default_rng(5)
+    B, n_max, k, H = 2, 4, 3, 5
+    e_max = n_max * k
+    N, E = B * n_max, B * n_max * k
+    blocks4 = (B, n_max, e_max, k)
+    ids = jnp.asarray(np.repeat(np.arange(N), k).astype(np.int32))
+    vals = jnp.asarray(rng.normal(size=(E, H)).astype(np.float32))
+    mask = jnp.asarray(rng.random(E) > 0.3)
+
+    fast = segment_sum(vals, ids, N, mask=mask, blocks=blocks4,
+                       fixed_dst=True)
+    ref = segment_sum(vals, ids, N, mask=mask)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref), atol=1e-6)
+
+    fast = segment_mean(vals, ids, N, mask=mask, blocks=blocks4,
+                        fixed_dst=True)
+    ref = segment_mean(vals, ids, N, mask=mask)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref), atol=1e-6)
+
+    fast = segment_softmax(vals, ids, N, mask=mask, blocks=blocks4,
+                           fixed_dst=True)
+    ref = segment_softmax(vals, ids, N, mask=mask)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref), atol=1e-6)
+
+    # dst gather broadcast == generic gather, and grad-of-grad agrees
+    x = jnp.asarray(rng.normal(size=(N, H)).astype(np.float32))
+    g_fast = gather_nodes(x, ids, blocks=blocks4, canonical_dst=True)
+    g_ref = gather_nodes(x, ids)
+    np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_ref))
+
+    def loss_fast(x):
+        y = gather_nodes(x, ids, blocks=blocks4, canonical_dst=True)
+        return jnp.sum(jnp.sin(y) ** 2)
+
+    def loss_ref(x):
+        return jnp.sum(jnp.sin(gather_nodes(x, ids)) ** 2)
+
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(loss_fast)(x)), np.asarray(jax.grad(loss_ref)(x)),
+        atol=1e-6,
+    )
+    hvp_fast = jax.grad(lambda x: jnp.sum(jax.grad(loss_fast)(x) * x))(x)
+    hvp_ref = jax.grad(lambda x: jnp.sum(jax.grad(loss_ref)(x) * x))(x)
+    np.testing.assert_allclose(
+        np.asarray(hvp_fast), np.asarray(hvp_ref), atol=1e-6
+    )
+
+
+def test_fixed_degree_model_matches_packed():
+    """Same graphs + params: fixed-degree model == packed model (energy per
+    graph + forces per real atom) — the fast smoke twin of
+    test_uniform_model_matches_packed."""
+    rng = np.random.default_rng(6)
+    samples = crystals(rng, [4, 3])
+    kw = dict(cutoff=5.0, max_neighbors=12)
+    b_packed = {
+        k: jnp.asarray(v)
+        for k, v in collate(samples, **kw, n_pad=8, e_pad=480)
+        .asdict().items()
+    }
+    b_fd = {
+        k: jnp.asarray(v)
+        for k, v in collate(samples, **kw, n_pad=10, e_pad=120,
+                            fixed_degree=True)
+        .asdict().items()
+    }
+    m_packed = EquiformerV2MatPES(**{**TINY, "num_layers": 1})
+    m_fd = EquiformerV2MatPES(**{**TINY, "num_layers": 1}, fixed_degree=True)
+    params = m_packed.init(jax.random.PRNGKey(0), b_packed)
+
+    out_p = matpes_energy_forces_stress(m_packed, params, b_packed)
+    out_f = matpes_energy_forces_stress(m_fd, params, b_fd)
+
+    e_p = np.asarray(out_p["energy_total"])
+    e_f = np.asarray(out_f["energy_total"])
+    assert np.abs(e_p - e_f).max() < 1e-4, (e_p, e_f)
+
+    mp = np.asarray(b_packed["node_mask"])
+    mf = np.asarray(b_fd["node_mask"])
+    f_p = np.asarray(out_p["forces"])[mp]
+    f_f = np.asarray(out_f["forces"])[mf]
+    assert f_p.shape == f_f.shape
+    assert np.abs(f_p - f_f).max() < 1e-4
