@@ -34,9 +34,16 @@ import contextlib
 import json
 import os
 import subprocess
+import sys
 import time
 
 import numpy as np
+
+
+def _log(msg: str) -> None:
+    """Progress to stderr (stdout stays the single JSON line)."""
+    print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr,
+          flush=True)
 
 REFERENCE_ANCHOR_GRAPHS_PER_SEC = 25.0
 
@@ -141,6 +148,25 @@ def _semantic_flops(raw_step, *args):
         with _envvars(ETQ_RC_FUSED="0", ETQ_WIGNER="factored",
                       ETQ_S2_FUSED="0"):
             cost = jax.jit(raw_step).lower(*args).cost_analysis()
+            if cost is None and jax.default_backend() != "cpu":
+                # TPU lowerings return no pre-compile cost analysis on this
+                # jax version (the root cause of r3's silent mfu=null) —
+                # lower the same step abstractly against the CPU backend
+                from equivarianttransformermpnn4quantumcomputations_tpu.utils.backend import (  # noqa: E501
+                    compute_on,
+                )
+
+                shapes = jax.tree_util.tree_map(
+                    lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), args
+                )
+                with compute_on("cpu"):
+                    cost = (
+                        jax.jit(raw_step, backend="cpu")
+                        .lower(*shapes)
+                        .cost_analysis()
+                    )
+        if cost is None:
+            return None, "cost_analysis returned None (tpu and cpu lowering)"
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         flops = float(cost.get("flops", 0.0))
@@ -161,8 +187,11 @@ def _time_step(step, state, batch, key, steps=STEPS):
     # mapping can differ from the first call's -> jax silently retraces and
     # recompiles ONCE on the second call (measured: a ~90 s compile landing
     # inside the timing loop, round 3).  The second warmup absorbs it.
+    _log("warmup 1 (compile)...")
+    t0 = time.perf_counter()
     state, metrics = step(state, batch, key)  # compile + warmup
     jax.block_until_ready(metrics["loss"])
+    _log(f"compile+step1 done in {time.perf_counter() - t0:.0f}s")
     state, metrics = step(state, batch, key)  # absorb any arg-mapping retrace
     jax.block_until_ready(metrics["loss"])
     times = []
@@ -257,11 +286,13 @@ def bench_matpes():
         uniform=UNIFORM, fixed_degree=FIXED_DEGREE,
     )
     batch = {k: jnp.asarray(v) for k, v in raw.items()}
+    _log("matpes: init_params_host...")
     params = init_params_host(model, jax.random.PRNGKey(0), batch)
     tx = make_optimizer(warmup_cosine(2e-4, 100, 10000), weight_decay=1e-3)
     state = create_train_state(params, tx)
     raw_step = make_matpes_train_step(model, tx, mixed_precision=BF16)
     key = jax.random.PRNGKey(1)
+    _log("matpes: semantic FLOPs lowering...")
     flops, flops_err = _semantic_flops(raw_step, state, batch, key)
     step = jax.jit(raw_step, donate_argnums=(0,))
     times, state = _time_step(step, state, batch, key)
@@ -372,7 +403,10 @@ def main():
     for w in wanted:
         for attempt in range(RETRIES + 1):
             try:
+                _log(f"workload {w} (attempt {attempt + 1})")
                 results[w] = fns[w]()
+                _log(f"workload {w} done: {results[w].get('graphs_per_sec')}"
+                     " g/s")
                 break
             except Exception as e:  # keep the primary line emitting
                 err = f"{type(e).__name__}: {e}"[:300]
