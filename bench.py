@@ -144,10 +144,22 @@ def _semantic_flops(raw_step, *args):
     """
     import jax
 
+    # CRITICAL: trace on FRESH function objects.  jax's trace cache is keyed
+    # on function identity + avals, SHARED across jit wrappers — tracing
+    # ``raw_step`` itself here, with the pallas knobs disabled, would poison
+    # the cache and make the TIMED jit(raw_step) silently run the kernels-off
+    # pure-XLA lowering.  (Found round 4: this is what round 3's 22.18 g/s
+    # artifact actually measured.)
+    def probe_tpu(*a):
+        return raw_step(*a)
+
+    def probe_cpu(*a):
+        return raw_step(*a)
+
     try:
         with _envvars(ETQ_RC_FUSED="0", ETQ_WIGNER="factored",
                       ETQ_S2_FUSED="0"):
-            cost = jax.jit(raw_step).lower(*args).cost_analysis()
+            cost = jax.jit(probe_tpu).lower(*args).cost_analysis()
             if cost is None and jax.default_backend() != "cpu":
                 # TPU lowerings return no pre-compile cost analysis on this
                 # jax version (the root cause of r3's silent mfu=null) —
@@ -161,7 +173,7 @@ def _semantic_flops(raw_step, *args):
                 )
                 with compute_on("cpu"):
                     cost = (
-                        jax.jit(raw_step, backend="cpu")
+                        jax.jit(probe_cpu, backend="cpu")
                         .lower(*shapes)
                         .cost_analysis()
                     )
