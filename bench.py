@@ -189,6 +189,38 @@ def _semantic_flops(raw_step, *args):
         return None, f"{type(e).__name__}: {e}"[:300]
 
 
+def _flops_unrolled(model_cls, cfg, raw_step, make_step, tx, batch, state,
+                    key):
+    """Semantic FLOPs/step.  ``lax.scan`` lowerings count the body ONCE, so
+    for scan_layers models the count comes from an ABSTRACT unrolled twin
+    (same math, params/state derived via jax.eval_shape — no real init)."""
+    import jax
+
+    from equivarianttransformermpnn4quantumcomputations_tpu.train.trainer import (
+        create_train_state,
+    )
+
+    if not cfg.get("scan_layers"):
+        return _semantic_flops(raw_step, state, batch, key)
+    try:
+        model_f = model_cls(**{**cfg, "scan_layers": False})
+
+        def build_state():
+            return create_train_state(
+                model_f.init(jax.random.PRNGKey(0), batch), tx
+            )
+
+        state_shape = jax.eval_shape(build_state)
+        step_f = make_step(model_f)
+        key_shape = jax.ShapeDtypeStruct(key.shape, key.dtype)
+        batch_shape = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), batch
+        )
+        return _semantic_flops(step_f, state_shape, batch_shape, key_shape)
+    except Exception as e:
+        return None, f"unrolled-flops: {type(e).__name__}: {e}"[:300]
+
+
 def _time_step(step, state, batch, key, steps=STEPS):
     """Per-step wall times (s).  Each step is individually blocked so the
     list exposes variance (tunnel hiccups show as outlier steps)."""
@@ -283,7 +315,7 @@ def bench_matpes():
         make_optimizer,
     )
 
-    model = EquiformerV2MatPES(
+    cfg = dict(
         num_layers=6, sphere_channels=128, attn_hidden_channels=128,
         num_heads=8, attn_alpha_channels=32, attn_value_channels=16,
         ffn_hidden_channels=512, lmax=4, mmax=2, grid_resolution=18,
@@ -292,6 +324,7 @@ def bench_matpes():
         compute_dtype="bfloat16" if BF16 else "float32", remat=REMAT,
         uniform_blocks=UNIFORM, fixed_degree=FIXED_DEGREE,
     )
+    model = EquiformerV2MatPES(**cfg)
     rng = np.random.default_rng(0)
     raw = _synthetic_batch(
         rng, N_GRAPHS, ATOMS_PER_GRAPH, N_PAD, E_PAD, max_neighbors=20,
@@ -305,7 +338,11 @@ def bench_matpes():
     raw_step = make_matpes_train_step(model, tx, mixed_precision=BF16)
     key = jax.random.PRNGKey(1)
     _log("matpes: semantic FLOPs lowering...")
-    flops, flops_err = _semantic_flops(raw_step, state, batch, key)
+    flops, flops_err = _flops_unrolled(
+        EquiformerV2MatPES, cfg, raw_step,
+        lambda m: make_matpes_train_step(m, tx, mixed_precision=BF16),
+        tx, batch, state, key,
+    )
     step = jax.jit(raw_step, donate_argnums=(0,))
     times, state = _time_step(step, state, batch, key)
     dev_ms, dev_err = _device_ms(step, state, batch, key)
@@ -333,11 +370,12 @@ def bench_qm9():
     )
 
     B, atoms = 48, 18
-    model = EquiformerV2QM9(
+    cfg = dict(
         alpha_drop=0.0, drop_path_rate=0.0, scan_layers=True,
         compute_dtype="bfloat16" if BF16 else "float32",
         uniform_blocks=True,
     )
+    model = EquiformerV2QM9(**cfg)
     rng = np.random.default_rng(0)
     raw = _synthetic_batch(
         rng, B, atoms, B * 20, B * 320, max_neighbors=16, uniform=True
@@ -350,7 +388,11 @@ def bench_qm9():
     state = create_train_state(params, tx)
     raw_step = make_qm9_train_step(model, tx, mixed_precision=BF16)
     key = jax.random.PRNGKey(1)
-    flops, flops_err = _semantic_flops(raw_step, state, batch, key)
+    flops, flops_err = _flops_unrolled(
+        EquiformerV2QM9, cfg, raw_step,
+        lambda m: make_qm9_train_step(m, tx, mixed_precision=BF16),
+        tx, batch, state, key,
+    )
     step = jax.jit(raw_step, donate_argnums=(0,))
     times, state = _time_step(step, state, batch, key)
     dev_ms, dev_err = _device_ms(step, state, batch, key)
@@ -379,11 +421,12 @@ def bench_oc20():
     )
 
     B, atoms = 4, 72
-    model = EquiformerV2OC20(
+    cfg = dict(
         alpha_drop=0.0, drop_path_rate=0.0, scan_layers=True,
         compute_dtype="bfloat16" if BF16 else "float32",
         uniform_blocks=True,
     )
+    model = EquiformerV2OC20(**cfg)
     rng = np.random.default_rng(0)
     raw = _synthetic_batch(
         rng, B, atoms, B * 80, B * 1600, max_neighbors=20, uniform=True
@@ -394,7 +437,11 @@ def bench_oc20():
     state = create_train_state(params, tx)
     raw_step = make_oc20_train_step(model, tx, mixed_precision=BF16)
     key = jax.random.PRNGKey(1)
-    flops, flops_err = _semantic_flops(raw_step, state, batch, key)
+    flops, flops_err = _flops_unrolled(
+        EquiformerV2OC20, cfg, raw_step,
+        lambda m: make_oc20_train_step(m, tx, mixed_precision=BF16),
+        tx, batch, state, key,
+    )
     step = jax.jit(raw_step, donate_argnums=(0,))
     times, state = _time_step(step, state, batch, key)
     dev_ms, dev_err = _device_ms(step, state, batch, key)

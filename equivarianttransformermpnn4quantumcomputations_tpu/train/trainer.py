@@ -116,10 +116,13 @@ def create_train_state(params, tx) -> TrainState:
     # Multi-device paths place the state themselves (replicate_state below /
     # parallel/sharding.py), so we leave it uncommitted here.
     if len(jax.devices()) == 1:
-        devs = {
-            d for leaf in jax.tree_util.tree_leaves(state)
-            for d in getattr(leaf, "devices", lambda: set())()
-        }
+        try:
+            devs = {
+                d for leaf in jax.tree_util.tree_leaves(state)
+                for d in getattr(leaf, "devices", lambda: set())()
+            }
+        except jax.errors.ConcretizationTypeError:
+            devs = set()   # abstract state (eval_shape) — nothing to place
         if len(devs) == 1:
             state = jax.device_put(state, devs.pop())
     return state

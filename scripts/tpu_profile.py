@@ -20,6 +20,8 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scan", action="store_true", help="scan_layers=True")
+    ap.add_argument("--fixed-degree", action="store_true",
+                    help="fixed-degree edge layout (collate(fixed_degree))")
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--graphs", type=int, default=8)
     ap.add_argument("--atoms", type=int, default=30)
@@ -52,12 +54,12 @@ def main():
         edge_channels=128, num_rbf=600, max_num_elements=100,
         gata=True, alpha_drop=0.0, drop_path_rate=0.0,
         scan_layers=args.scan, compute_dtype="bfloat16",
-        uniform_blocks=True,
+        uniform_blocks=True, fixed_degree=args.fixed_degree,
     )
     rng = np.random.default_rng(0)
     raw = _synthetic_batch(
         rng, args.graphs, args.atoms, args.npad, args.epad,
-        max_neighbors=20, uniform=True,
+        max_neighbors=20, uniform=True, fixed_degree=args.fixed_degree,
     )
     batch = {k: jnp.asarray(v) for k, v in raw.items()}
     params = init_params_host(model, jax.random.PRNGKey(0), batch)
