@@ -67,9 +67,8 @@ REMAT = os.environ.get("ETQ_BENCH_REMAT", "0") == "1"
 SCAN = os.environ.get("ETQ_BENCH_SCAN", "0") == "1"
 UNIFORM = os.environ.get("ETQ_BENCH_UNIFORM", "1") == "1"
 # fixed-degree edge layout: every node owns k = e_pad/n_pad edge slots, so
-# dst-keyed segment ops are reshape-reductions (no one-hot GEMMs / copies).
-# Default ON: measured 36.06 -> 40.35 g/s on the unrolled flagship (r4 A/B)
-FIXED_DEGREE = os.environ.get("ETQ_BENCH_FIXED_DEGREE", "1") == "1"
+# dst-keyed segment ops are reshape-reductions (no one-hot GEMMs / copies)
+FIXED_DEGREE = os.environ.get("ETQ_BENCH_FIXED_DEGREE", "0") == "1"
 # comma list: any of matpes,qm9,oc20
 WORKLOADS = os.environ.get("ETQ_BENCH_WORKLOADS", "matpes,qm9,oc20")
 RETRIES = int(os.environ.get("ETQ_BENCH_RETRIES", 2))
@@ -190,38 +189,6 @@ def _semantic_flops(raw_step, *args):
         return None, f"{type(e).__name__}: {e}"[:300]
 
 
-def _flops_unrolled(model_cls, cfg, raw_step, make_step, tx, batch, state,
-                    key):
-    """Semantic FLOPs/step.  ``lax.scan`` lowerings count the body ONCE, so
-    for scan_layers models the count comes from an ABSTRACT unrolled twin
-    (same math, params/state derived via jax.eval_shape — no real init)."""
-    import jax
-
-    from equivarianttransformermpnn4quantumcomputations_tpu.train.trainer import (
-        create_train_state,
-    )
-
-    if not cfg.get("scan_layers"):
-        return _semantic_flops(raw_step, state, batch, key)
-    try:
-        model_f = model_cls(**{**cfg, "scan_layers": False})
-
-        def build_state():
-            return create_train_state(
-                model_f.init(jax.random.PRNGKey(0), batch), tx
-            )
-
-        state_shape = jax.eval_shape(build_state)
-        step_f = make_step(model_f)
-        key_shape = jax.ShapeDtypeStruct(key.shape, key.dtype)
-        batch_shape = jax.tree_util.tree_map(
-            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), batch
-        )
-        return _semantic_flops(step_f, state_shape, batch_shape, key_shape)
-    except Exception as e:
-        return None, f"unrolled-flops: {type(e).__name__}: {e}"[:300]
-
-
 def _time_step(step, state, batch, key, steps=STEPS):
     """Per-step wall times (s).  Each step is individually blocked so the
     list exposes variance (tunnel hiccups show as outlier steps)."""
@@ -245,14 +212,7 @@ def _time_step(step, state, batch, key, steps=STEPS):
         state, metrics = step(state, batch, jax.random.fold_in(key, i))
         jax.block_until_ready(metrics["loss"])
         times.append(time.perf_counter() - t0)
-    # free-running (pipelined) pass: dispatch all steps, block once — how a
-    # real training loop runs; hides the per-step host/tunnel round trip
-    t0 = time.perf_counter()
-    for i in range(steps):
-        state, metrics = step(state, batch, jax.random.fold_in(key, 100 + i))
-    jax.block_until_ready(metrics["loss"])
-    pipelined = (time.perf_counter() - t0) / steps
-    return times, pipelined, state
+    return times, state
 
 
 def _device_ms(step, state, batch, key):
@@ -279,16 +239,12 @@ def _device_ms(step, state, batch, key):
         return None, f"{type(e).__name__}: {e}"[:300]
 
 
-def _result(n_graphs, times, pipelined, flops, flops_err, dev_ms, dev_err):
+def _result(n_graphs, times, flops, flops_err, dev_ms, dev_err):
     wall = np.asarray(times)
-    # primary throughput = the free-running (pipelined) pass — how a real
-    # training loop runs; per-step blocked stats expose tunnel variance
-    med = float(min(np.median(wall), pipelined))
+    med = float(np.median(wall))
     out = {
         "graphs_per_sec": round(n_graphs / med, 2),
         "ms_per_step": round(med * 1000, 1),
-        "ms_per_step_pipelined": round(pipelined * 1000, 1),
-        "ms_per_step_blocked_median": round(float(np.median(wall)) * 1000, 1),
         "ms_per_step_min": round(float(wall.min()) * 1000, 1),
         "ms_per_step_max": round(float(wall.max()) * 1000, 1),
     }
@@ -327,7 +283,7 @@ def bench_matpes():
         make_optimizer,
     )
 
-    cfg = dict(
+    model = EquiformerV2MatPES(
         num_layers=6, sphere_channels=128, attn_hidden_channels=128,
         num_heads=8, attn_alpha_channels=32, attn_value_channels=16,
         ffn_hidden_channels=512, lmax=4, mmax=2, grid_resolution=18,
@@ -336,7 +292,6 @@ def bench_matpes():
         compute_dtype="bfloat16" if BF16 else "float32", remat=REMAT,
         uniform_blocks=UNIFORM, fixed_degree=FIXED_DEGREE,
     )
-    model = EquiformerV2MatPES(**cfg)
     rng = np.random.default_rng(0)
     raw = _synthetic_batch(
         rng, N_GRAPHS, ATOMS_PER_GRAPH, N_PAD, E_PAD, max_neighbors=20,
@@ -350,16 +305,11 @@ def bench_matpes():
     raw_step = make_matpes_train_step(model, tx, mixed_precision=BF16)
     key = jax.random.PRNGKey(1)
     _log("matpes: semantic FLOPs lowering...")
-    flops, flops_err = _flops_unrolled(
-        EquiformerV2MatPES, cfg, raw_step,
-        lambda m: make_matpes_train_step(m, tx, mixed_precision=BF16),
-        tx, batch, state, key,
-    )
+    flops, flops_err = _semantic_flops(raw_step, state, batch, key)
     step = jax.jit(raw_step, donate_argnums=(0,))
-    times, pipelined, state = _time_step(step, state, batch, key)
+    times, state = _time_step(step, state, batch, key)
     dev_ms, dev_err = _device_ms(step, state, batch, key)
-    return _result(N_GRAPHS, times, pipelined, flops, flops_err, dev_ms,
-                   dev_err)
+    return _result(N_GRAPHS, times, flops, flops_err, dev_ms, dev_err)
 
 
 def bench_qm9():
@@ -383,16 +333,14 @@ def bench_qm9():
     )
 
     B, atoms = 48, 18
-    cfg = dict(
+    model = EquiformerV2QM9(
         alpha_drop=0.0, drop_path_rate=0.0, scan_layers=True,
         compute_dtype="bfloat16" if BF16 else "float32",
-        uniform_blocks=True, fixed_degree=FIXED_DEGREE,
+        uniform_blocks=True,
     )
-    model = EquiformerV2QM9(**cfg)
     rng = np.random.default_rng(0)
     raw = _synthetic_batch(
-        rng, B, atoms, B * 20, B * 320, max_neighbors=16, uniform=True,
-        fixed_degree=FIXED_DEGREE,
+        rng, B, atoms, B * 20, B * 320, max_neighbors=16, uniform=True
     )
     raw["atomic_numbers"] = np.minimum(raw["atomic_numbers"], 9)  # QM9 Z<10
     raw["y"] = rng.normal(size=(B, 12)).astype(np.float32)
@@ -402,15 +350,11 @@ def bench_qm9():
     state = create_train_state(params, tx)
     raw_step = make_qm9_train_step(model, tx, mixed_precision=BF16)
     key = jax.random.PRNGKey(1)
-    flops, flops_err = _flops_unrolled(
-        EquiformerV2QM9, cfg, raw_step,
-        lambda m: make_qm9_train_step(m, tx, mixed_precision=BF16),
-        tx, batch, state, key,
-    )
+    flops, flops_err = _semantic_flops(raw_step, state, batch, key)
     step = jax.jit(raw_step, donate_argnums=(0,))
-    times, pipelined, state = _time_step(step, state, batch, key)
+    times, state = _time_step(step, state, batch, key)
     dev_ms, dev_err = _device_ms(step, state, batch, key)
-    return _result(B, times, pipelined, flops, flops_err, dev_ms, dev_err)
+    return _result(B, times, flops, flops_err, dev_ms, dev_err)
 
 
 def bench_oc20():
@@ -435,16 +379,14 @@ def bench_oc20():
     )
 
     B, atoms = 4, 72
-    cfg = dict(
+    model = EquiformerV2OC20(
         alpha_drop=0.0, drop_path_rate=0.0, scan_layers=True,
         compute_dtype="bfloat16" if BF16 else "float32",
-        uniform_blocks=True, fixed_degree=FIXED_DEGREE,
+        uniform_blocks=True,
     )
-    model = EquiformerV2OC20(**cfg)
     rng = np.random.default_rng(0)
     raw = _synthetic_batch(
-        rng, B, atoms, B * 80, B * 1600, max_neighbors=20, uniform=True,
-        fixed_degree=FIXED_DEGREE,
+        rng, B, atoms, B * 80, B * 1600, max_neighbors=20, uniform=True
     )
     batch = {k: jnp.asarray(v) for k, v in raw.items()}
     params = init_params_host(model, jax.random.PRNGKey(0), batch)
@@ -452,15 +394,11 @@ def bench_oc20():
     state = create_train_state(params, tx)
     raw_step = make_oc20_train_step(model, tx, mixed_precision=BF16)
     key = jax.random.PRNGKey(1)
-    flops, flops_err = _flops_unrolled(
-        EquiformerV2OC20, cfg, raw_step,
-        lambda m: make_oc20_train_step(m, tx, mixed_precision=BF16),
-        tx, batch, state, key,
-    )
+    flops, flops_err = _semantic_flops(raw_step, state, batch, key)
     step = jax.jit(raw_step, donate_argnums=(0,))
-    times, pipelined, state = _time_step(step, state, batch, key)
+    times, state = _time_step(step, state, batch, key)
     dev_ms, dev_err = _device_ms(step, state, batch, key)
-    return _result(B, times, pipelined, flops, flops_err, dev_ms, dev_err)
+    return _result(B, times, flops, flops_err, dev_ms, dev_err)
 
 
 def _transient(err: str) -> bool:
