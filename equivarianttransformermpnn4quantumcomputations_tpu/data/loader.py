@@ -23,13 +23,15 @@ __all__ = ["PaddedLoader", "infer_pad_sizes"]
 def infer_pad_sizes(
     dataset, cutoff: float, max_neighbors: int | None,
     batch_size: int, sample: int = 64, safety: float = 1.25,
-    uniform: bool = False,
+    uniform: bool = False, fixed_degree: bool = False,
 ):
     """Estimate (n_pad, e_pad) from a sample of the dataset.
 
     ``uniform=True``: sizes compatible with graph-uniform blocking
     (n_pad/e_pad divisible by batch_size, per-graph capacity = the sampled
-    max + safety)."""
+    max + safety).  ``fixed_degree=True``: e_pad = n_pad * max_neighbors
+    (every node owns exactly max_neighbors edge slots — collate
+    fixed_degree layout)."""
     from .graph import radius_graph, radius_graph_pbc
 
     rng = np.random.default_rng(0)
@@ -47,6 +49,11 @@ def infer_pad_sizes(
                 s.pos.astype(np.float64), cutoff, max_neighbors
             )
         e_max = max(e_max, src.size)
+    if fixed_degree:
+        if max_neighbors is None:
+            raise ValueError("fixed_degree pad sizing needs max_neighbors")
+        n_slot = int(np.ceil(n_max * safety / 4)) * 4
+        return batch_size * n_slot, batch_size * n_slot * max_neighbors
     if uniform:
         n_slot = int(np.ceil(n_max * safety / 4)) * 4
         e_slot = int(np.ceil(e_max * safety / 32)) * 32
@@ -80,6 +87,7 @@ class PaddedLoader:
         drop_last: bool = True,
         prefetch: int = 2,
         uniform: bool = False,
+        fixed_degree: bool = False,
         num_shards: int = 1,
         shard_id: int = 0,
     ):
@@ -97,6 +105,7 @@ class PaddedLoader:
         self.drop_last = drop_last
         self.prefetch = prefetch
         self.uniform = uniform
+        self.fixed_degree = fixed_degree
         # multi-host: each process iterates a strided shard of the (shared-
         # seed) shuffled index list — DistributedSampler semantics (reference
         # train_oc20v2_parallel.py:334-349; parallel/multihost.py:host_shard)
@@ -125,7 +134,7 @@ class PaddedLoader:
         samples = [self.dataset[int(i)] for i in batch_idx]
         return collate(
             samples, self.cutoff, self.max_neighbors, self.n_pad, self.e_pad,
-            uniform=self.uniform,
+            uniform=self.uniform, fixed_degree=self.fixed_degree,
         )
 
     def __iter__(self) -> Iterator[PaddedBatch]:

@@ -136,15 +136,17 @@ def main(argv=None):
             cfg.get("max_test"),
         )
     uniform = cfg.get("uniform_blocks", True)
+    fixed_degree = cfg.get("fixed_degree", True)
     n_pad, e_pad = infer_pad_sizes(
         train_ds, cfg["cutoff"], cfg["max_neighbors"], cfg["batch_size"],
-        uniform=uniform,
+        uniform=uniform, fixed_degree=fixed_degree,
     )
     n_shards = multihost.process_count() if args.multihost else 1
     shard_id = multihost.process_index() if args.multihost else 0
     mk = lambda ds, shuf, sharded=False: PaddedLoader(
         ds, cfg["batch_size"], cfg["cutoff"], cfg["max_neighbors"],
         n_pad, e_pad, shuffle=shuf, seed=cfg["seed"], uniform=uniform,
+        fixed_degree=fixed_degree,
         num_shards=n_shards if sharded else 1,
         shard_id=shard_id if sharded else 0,
     )
@@ -173,6 +175,7 @@ def main(argv=None):
         use_phi_every_layer=cfg.get("use_phi_every_layer", False),
         compute_dtype="bfloat16" if args.mixed_precision else "float32",
         uniform_blocks=uniform,
+        fixed_degree=fixed_degree,
         # fast-compile layer scan (PERF.md round-2 fix); unrolled peaks ~25%
         # higher throughput but costs 30+ min compile
         scan_layers=cfg.get("scan_layers", True),
