@@ -23,6 +23,7 @@ def build_oc20_model(cfg):
     from ..models.oc20 import EquiformerV2OC20
 
     return EquiformerV2OC20(
+        fixed_degree=cfg.get("fixed_degree", True),
         num_layers=cfg["num_layers"],
         sphere_channels=cfg["sphere_channels"],
         attn_hidden_channels=cfg["attn_hidden_channels"],
@@ -150,17 +151,19 @@ def main(argv=None):
         train_ds = ds_cls(path)
         val_ds = ds_cls(cfg["val_path"]) if cfg.get("val_path") else train_ds
 
+    fixed_degree = cfg.get("fixed_degree", True)
     n_pad, e_pad = infer_pad_sizes(
-        train_ds, cfg["cutoff"], cfg["max_neighbors"], cfg["batch_size"]
+        train_ds, cfg["cutoff"], cfg["max_neighbors"], cfg["batch_size"],
+        fixed_degree=fixed_degree,
     )
     train_loader = PaddedLoader(
         train_ds, cfg["batch_size"], cfg["cutoff"], cfg["max_neighbors"],
         n_pad, e_pad, shuffle=True, seed=cfg["seed"],
-        num_shards=n_shards, shard_id=shard_id,
+        num_shards=n_shards, shard_id=shard_id, fixed_degree=fixed_degree,
     )
     val_loader = PaddedLoader(
         val_ds, cfg["batch_size"], cfg["cutoff"], cfg["max_neighbors"],
-        n_pad, e_pad,
+        n_pad, e_pad, fixed_degree=fixed_degree,
     )
 
     model = build_oc20_model(cfg)

@@ -78,12 +78,15 @@ def main(argv=None):
     tr_idx, va_idx, te_idx = qm9_random_split(
         len(dataset), cfg["val_split"], cfg["test_split"]
     )
+    fixed_degree = cfg.get("fixed_degree", True)
     n_pad, e_pad = infer_pad_sizes(
-        dataset, cfg["cutoff"], cfg["max_neighbors"], cfg["batch_size"]
+        dataset, cfg["cutoff"], cfg["max_neighbors"], cfg["batch_size"],
+        fixed_degree=fixed_degree,
     )
     mk = lambda idx, shuf: PaddedLoader(
         dataset, cfg["batch_size"], cfg["cutoff"], cfg["max_neighbors"],
         n_pad, e_pad, indices=idx, shuffle=shuf, seed=cfg["seed"],
+        fixed_degree=fixed_degree,
     )
     train_loader, val_loader = mk(tr_idx, True), mk(va_idx, False)
 
@@ -92,6 +95,7 @@ def main(argv=None):
     )
     model = EquiformerV2QM9(
         num_targets=n_targets,
+        fixed_degree=fixed_degree,
         num_layers=cfg["num_layers"],
         sphere_channels=cfg["sphere_channels"],
         attn_hidden_channels=cfg["attn_hidden_channels"],
