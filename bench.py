@@ -17,8 +17,8 @@ HTTP 500s) are retried up to ``ETQ_BENCH_RETRIES`` (default 2) times.
 
 FLOPs accounting: the semantic FLOPs of a step are counted from an
 UNOPTIMIZED pure-XLA lowering (`jax.jit(...).lower(...).cost_analysis()`)
-traced with the Pallas kernels disabled (ETQ_RC_FUSED=0, ETQ_WIGNER=
-factored, ETQ_S2_FUSED=0) — XLA's compiled-cost analysis cannot see FLOPs
+traced with the Pallas kernels disabled (ETQ_WIGNER=factored,
+ETQ_S2_FUSED=0) — XLA's compiled-cost analysis cannot see FLOPs
 inside pallas custom calls, which made kernel-heavy steps look artificially
 low-MFU.  The timed step still runs with the production kernel config.
 
@@ -80,7 +80,6 @@ DEVICE_PROFILE = os.environ.get("ETQ_BENCH_DEVICE_PROFILE", "1") == "1"
 # here so the artifact states what actually ran, not just what was exported)
 _KNOB_DEFAULTS = {
     "ETQ_WIGNER": "dense (tpu) / factored (cpu)",
-    "ETQ_RC_FUSED": "0",
     "ETQ_S2_FUSED": "1",
     "ETQ_S2_FUSED_MIN_ROWS": "0",
     "ETQ_S2_CKPT": "0",
@@ -158,8 +157,7 @@ def _semantic_flops(raw_step, *args):
         return raw_step(*a)
 
     try:
-        with _envvars(ETQ_RC_FUSED="0", ETQ_WIGNER="factored",
-                      ETQ_S2_FUSED="0"):
+        with _envvars(ETQ_WIGNER="factored", ETQ_S2_FUSED="0"):
             cost = jax.jit(probe_tpu).lower(*args).cost_analysis()
             if cost is None and jax.default_backend() != "cpu":
                 # TPU lowerings return no pre-compile cost analysis on this

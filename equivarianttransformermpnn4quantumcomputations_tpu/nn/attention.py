@@ -166,22 +166,14 @@ class GraphAttention(nn.Module):
         else:
             extra_m0 = alpha_ch
 
-        # Fused rotate+conv (ops/pallas/rc_fused.py): the rotation into the
-        # edge frame, radial modulation and the SO(2) GEMMs run in ONE Pallas
-        # kernel with the rotated intermediates VMEM-resident (kills the
-        # layout-copy tax at the custom-call boundaries, PERF.md round 2).
-        from ..ops.pallas.rc_fused import so2conv_fusable
-
-        rc1 = so2conv_fusable(
-            wigner, 2 * self.sphere_channels, self.hidden_channels,
-            extra_m0, m0=m0_only, site="conv1",
-        )
         # ── SO(2) conv 1 with extra m=0 channels ──────────────────────────
-        if not rc1:
-            if m0_only:
-                msg = rotate_to_edge_m0(wigner, msg, self.layout_red)
-            else:
-                msg = rotate_to_edge(wigner, msg, self.layout_red)
+        # (a fused rotate+conv Pallas kernel was built and measured in r3 —
+        # per-call overheads made it a net regression; removed in r4, see
+        # PERF.md "fused rotate+SO2-conv")
+        if m0_only:
+            msg = rotate_to_edge_m0(wigner, msg, self.layout_red)
+        else:
+            msg = rotate_to_edge(wigner, msg, self.layout_red)
 
         msg, x0_extra = SO2Conv(
             layout=self.layout_red,
@@ -192,11 +184,7 @@ class GraphAttention(nn.Module):
             m0_only=m0_only,
             tp="col",
             name="so2_conv_1",
-        )(
-            msg,
-            x_edge if not self.use_m_share_rad else None,
-            wigner=wigner if rc1 else None,
-        )
+        )(msg, x_edge if not self.use_m_share_rad else None)
 
         # ── attention logits ──────────────────────────────────────────────
         def compute_alpha(x0_alpha):
@@ -278,15 +266,7 @@ class GraphAttention(nn.Module):
             msg = s2_activation(msg, self.grid_red)
             alpha = compute_alpha(x0_extra)
 
-        # ── SO(2) conv 2 (+ fused rotate-back when rc2) ───────────────────
-        # rc2 fuses conv-2 and the rotation back to the global frame in one
-        # kernel; the alpha weighting moves AFTER the rotate-back, which is
-        # exact — alpha scales per (head) channel while the Wigner rotation
-        # mixes the coefficient axis, so the two commute elementwise.
-        rc2 = so2conv_fusable(
-            wigner, self.hidden_channels,
-            self.num_heads * self.attn_value_channels, 0, site="conv2",
-        )
+        # ── SO(2) conv 2 ──────────────────────────────────────────────────
         msg, _ = SO2Conv(
             layout=self.layout_red,
             in_channels=self.hidden_channels,
@@ -295,7 +275,7 @@ class GraphAttention(nn.Module):
             rad_channels=None,
             tp="row",
             name="so2_conv_2",
-        )(msg, None, wigner=wigner if rc2 else None, rotate_back=rc2)
+        )(msg, None)
 
         # ── alpha-weighted aggregation ────────────────────────────────────
         if self.alpha_drop > 0.0:
@@ -308,8 +288,7 @@ class GraphAttention(nn.Module):
         msg = msg.reshape(E, Kr, self.num_heads * self.attn_value_channels)
 
         # ── rotate back + reduce ──────────────────────────────────────────
-        if not rc2:
-            msg = rotate_from_edge(wigner, msg, self.layout_red)
+        msg = rotate_from_edge(wigner, msg, self.layout_red)
         agg = segment_sum(
             msg, edge_dst, num_segments=num_nodes, mask=edge_mask,
             sorted_ids=True, blocks=self.blocks, fixed_dst=True,

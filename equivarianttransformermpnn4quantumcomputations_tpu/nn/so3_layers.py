@@ -102,15 +102,7 @@ class SO2Conv(nn.Module):
     m0_only: bool = False
 
     @nn.compact
-    def __call__(self, x, edge_scalars=None, wigner=None, rotate_back=False):
-        """``wigner``: pass the per-edge WignerDense to take the FUSED
-        rotate+conv Pallas path (ops/pallas/rc_fused.py) — then ``x`` is the
-        UNROTATED [E, K_full, C_in] global-frame features and the rotation
-        into the edge frame happens inside the kernel.  ``rotate_back=True``
-        (requires ``wigner``) additionally fuses the rotation back to the
-        global frame after the conv, returning [E, K_full, C_out].  Callers
-        gate on ops.pallas.rc_fused.so2conv_fusable; parameters are identical
-        across paths (checkpoint-compatible)."""
+    def __call__(self, x, edge_scalars=None):
         lay = self.layout
         E = x.shape[0]
         Cin, Cout = self.in_channels, self.out_channels
@@ -153,42 +145,6 @@ class SO2Conv(nn.Module):
                 ],
                 axis=0,
             ).astype(dt)
-
-        if wigner is not None:
-            from ..ops.pallas.rc_fused import (
-                fused_conv_rotate,
-                fused_rotate_conv,
-            )
-
-            dt = x.dtype
-            ex = self.extra_m0
-            wbigs = [wbig_of(wr, wi, dt) for wr, wi in wms]
-            if rotate_back:
-                if ex or self.m0_only or rad is not None:
-                    raise ValueError(
-                        "rotate_back fusion supports the plain conv only "
-                        "(no extra_m0 / m0_only / radial modulation)"
-                    )
-                y = fused_conv_rotate(
-                    x, wigner, None,
-                    (w0.astype(dt), *wbigs), (b0.astype(dt),), c_rot=Cout,
-                )
-                return y, None
-            if self.m0_only:
-                _, extra = fused_rotate_conv(
-                    x, wigner, rad,
-                    (w0[:, :ex].astype(dt),), (b0[:ex].astype(dt),),
-                    c_msg=Cout, extra=ex, m0=True,
-                )
-                return None, extra
-            if ex:
-                ws = (w0[:, :ex].astype(dt), w0[:, ex:].astype(dt), *wbigs)
-                bs = (b0[:ex].astype(dt), b0[ex:].astype(dt))
-            else:
-                ws = (w0.astype(dt), *wbigs)
-                bs = (b0.astype(dt),)
-            return fused_rotate_conv(x, wigner, rad, ws, bs,
-                                     c_msg=Cout, extra=ex)
 
         xm = x if self.m0_only else x[:, lay.to_m_perm, :]  # m-primary
 
