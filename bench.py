@@ -53,11 +53,13 @@ V5E_PEAK_FLOPS_BF16 = 197e12
 V5E_PEAK_FLOPS_F32 = 98.5e12
 
 # flagship benchmark shape: realistic MatPES training batch on one v5e chip
-# (16 GB HBM; grad-of-grad force training at grid_resolution=18 bounds it)
-N_GRAPHS = int(os.environ.get("ETQ_BENCH_GRAPHS", 8))
+# (16 GB HBM; grad-of-grad force training at grid_resolution=18 bounds it).
+# Batch 16 is the throughput-optimal point with the fixed-degree layout
+# (r4 sweep: 8 -> 40.4 g/s, 12 -> 44.7, 16 -> 44.8; scale further via DP)
+N_GRAPHS = int(os.environ.get("ETQ_BENCH_GRAPHS", 16))
 ATOMS_PER_GRAPH = int(os.environ.get("ETQ_BENCH_ATOMS", 30))
-N_PAD = int(os.environ.get("ETQ_BENCH_NPAD", 256))
-E_PAD = int(os.environ.get("ETQ_BENCH_EPAD", 5120))
+N_PAD = int(os.environ.get("ETQ_BENCH_NPAD", 512))
+E_PAD = int(os.environ.get("ETQ_BENCH_EPAD", 10240))
 STEPS = int(os.environ.get("ETQ_BENCH_STEPS", 10))
 # bf16 compute (f32 master params + norms) is the TPU-native design point
 BF16 = os.environ.get("ETQ_BENCH_BF16", "1") == "1"

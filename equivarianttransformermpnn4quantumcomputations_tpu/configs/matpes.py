@@ -92,6 +92,8 @@ config_synthetic_convergence = {
     "batch_size": 32,
     "epochs": 200,
     "warmup_epochs": 5,
+    "eval_every": 5,
+    "ckpt_every_epochs": 20,
     "lr": 1e-3,
     "alpha_drop": 0.0,
     "drop_path_rate": 0.0,

@@ -258,8 +258,12 @@ def matpes_energy_forces_stress(
     # differentiated, the outer backward would otherwise store the *stacked*
     # linearization residuals of this inner force pass (observed as
     # [layers, chunks, grid, grid, C] multi-GB buffers); rematerializing
-    # trades that for one extra forward.
-    energy_fn = jax.checkpoint(energy_fn)
+    # trades that for one extra forward.  ETQ_INNER_CKPT=0 disables (costs
+    # HBM, saves one inner forward per outer backward — measure per shape).
+    import os as _os
+
+    if _os.environ.get("ETQ_INNER_CKPT", "1") == "1":
+        energy_fn = jax.checkpoint(energy_fn)
     dpos, outs = jax.grad(energy_fn, has_aux=True)(batch["pos"])
     forces = -dpos * batch["node_mask"][:, None].astype(dpos.dtype)
     result = dict(outs)

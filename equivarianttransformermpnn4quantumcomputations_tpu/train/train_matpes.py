@@ -20,18 +20,31 @@ import time
 import numpy as np
 
 
+_EVAL_FWD_CACHE: dict = {}
+
+
 def evaluate(model, params, loader, energy_std: float):
     """Energy MAE (meV/atom) and force MAE (meV/A), denormalized
     (reference test_MatPES.py:89-152: MAE * std * 1000)."""
+    import jax
     import jax.numpy as jnp
 
     from ..models.matpes import matpes_energy_forces_stress
+
+    # jitted per model instance: eager energy+forces dispatches thousands of
+    # ops per batch through the device tunnel (~40 s/batch on the flagship)
+    eval_fwd = _EVAL_FWD_CACHE.get(id(model))
+    if eval_fwd is None:
+        eval_fwd = jax.jit(
+            lambda p, batch: matpes_energy_forces_stress(model, p, batch)
+        )
+        _EVAL_FWD_CACHE[id(model)] = eval_fwd
 
     e_err = f_err = 0.0
     e_cnt = f_cnt = 0
     for pb in loader:
         batch = {k: jnp.asarray(v) for k, v in pb.asdict().items()}
-        outs = matpes_energy_forces_stress(model, params, batch)
+        outs = eval_fwd(params, batch)
         e_pred = np.asarray(outs["energy"][:, 0])
         e_tgt = np.asarray(batch["energy"])
         e_err += np.abs(e_pred - e_tgt).sum()
@@ -260,6 +273,7 @@ def main(argv=None):
     best_val = np.inf
     step_count = 0
     nan_batches = 0
+    e_mae = f_mae = float("inf")   # last eval (eval_every may skip epochs)
     for epoch in range(cfg["epochs"]):
         train_loader.set_epoch(epoch)
         t0 = time.time()
@@ -311,9 +325,11 @@ def main(argv=None):
                         "train/force_l1": float(metrics["force_l1"]),
                     },
                 )
-        e_mae, f_mae = evaluate(
-            model, state.ema_params, val_loader, stats["energy_std"]
-        )
+        if (epoch + 1) % cfg.get("eval_every", 1) == 0 \
+                or epoch == cfg["epochs"] - 1:
+            e_mae, f_mae = evaluate(
+                model, state.ema_params, val_loader, stats["energy_std"]
+            )
         dt = time.time() - t0
         if primary:
             print(
