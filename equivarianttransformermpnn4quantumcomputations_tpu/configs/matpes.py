@@ -91,10 +91,12 @@ config_synthetic_convergence = {
     "num_rbf": 128,
     "batch_size": 32,
     "epochs": 200,
-    "warmup_epochs": 5,
+    "warmup_epochs": 10,
     "eval_every": 5,
     "ckpt_every_epochs": 20,
-    "lr": 1e-3,
+    # 1e-3 diverged at epoch ~9 on this task (finite-but-huge loss slips
+    # past the non-finite guard); 3e-4 trains stably
+    "lr": 3e-4,
     "alpha_drop": 0.0,
     "drop_path_rate": 0.0,
     "run_dir": "runs/matpes_synth_convergence",

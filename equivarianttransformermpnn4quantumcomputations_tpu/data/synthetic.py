@@ -69,9 +69,14 @@ class SyntheticMolecules:
 
 
 class SyntheticCrystals:
-    """Random periodic cells with LJ energies (central image only)."""
+    """Random periodic cells with LJ energies (central image only).
 
-    def __init__(self, n_samples=32, n_atoms=6, seed=0):
+    ``stats=(mu, sd)``: normalize with EXTERNAL per-atom-energy stats (pass
+    the train set's ``.stats`` to val/test so train and val targets share
+    one scale — per-seed self-normalization made val MAEs incomparable).
+    """
+
+    def __init__(self, n_samples=32, n_atoms=6, seed=0, stats=None):
         rng = np.random.default_rng(seed)
         raw = []
         for _ in range(n_samples):
@@ -89,7 +94,11 @@ class SyntheticCrystals:
             e, f = _lj_energy_forces(pos)
             raw.append((z, pos, cell, e, f))
         es = np.asarray([r[3] / n_atoms for r in raw])
-        mu, sd = es.mean(), max(es.std(), 1e-6)
+        if stats is None:
+            mu, sd = es.mean(), max(es.std(), 1e-6)
+        else:
+            mu, sd = stats
+        self.stats = (float(mu), float(sd))
         self.samples = [
             GraphSample(
                 atomic_numbers=z,

@@ -137,7 +137,12 @@ def main(argv=None):
         from ..data.synthetic import SyntheticCrystals
 
         train_ds = SyntheticCrystals(n_samples=cfg.get("max_train") or 64)
-        val_ds = SyntheticCrystals(n_samples=cfg.get("max_val") or 16, seed=1)
+        # val shares the TRAIN normalization (per-seed self-normalization
+        # made val MAEs incomparable to the train loss)
+        val_ds = SyntheticCrystals(
+            n_samples=cfg.get("max_val") or 16, seed=1,
+            stats=train_ds.stats,
+        )
         stats = {"energy_mean": 0.0, "energy_std": 1.0}
     else:
         train_ds, val_ds, test_ds, stats = load_matpes(
