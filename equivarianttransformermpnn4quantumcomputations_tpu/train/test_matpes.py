@@ -47,10 +47,21 @@ def main(argv=None):
     with open(os.path.join(run_dir, f"{name}.meta.json")) as f:
         cfg = json.load(f)["config"]
 
-    train_ds, val_ds, test_ds, stats = load_matpes(
-        cfg["data_path"], cfg.get("split_path"), cfg.get("cache_dir"),
-        cfg.get("max_train"), cfg.get("max_val"), cfg.get("max_test"),
-    )
+    if cfg.get("synthetic"):
+        # synthetic-LJ checkpoints (train_matpes --config synthetic*)
+        from ..data.synthetic import SyntheticCrystals
+
+        train_ds = SyntheticCrystals(n_samples=cfg.get("max_train") or 64)
+        val_ds = test_ds = SyntheticCrystals(
+            n_samples=cfg.get("max_val") or 16, seed=1,
+            stats=train_ds.stats,
+        )
+        stats = {"energy_mean": 0.0, "energy_std": 1.0}
+    else:
+        train_ds, val_ds, test_ds, stats = load_matpes(
+            cfg["data_path"], cfg.get("split_path"), cfg.get("cache_dir"),
+            cfg.get("max_train"), cfg.get("max_val"), cfg.get("max_test"),
+        )
     # energy_std consistency check (reference test_MatPES.py:221-224)
     if "energy_std" in cfg:
         drift = abs(stats["energy_std"] - cfg["energy_std"])
@@ -61,11 +72,14 @@ def main(argv=None):
             )
             stats["energy_std"] = cfg["energy_std"]
     ds = test_ds if args.split == "test" else val_ds
+    fixed_degree = cfg.get("fixed_degree", True)
     n_pad, e_pad = infer_pad_sizes(
-        ds, cfg["cutoff"], cfg["max_neighbors"], cfg["batch_size"]
+        ds, cfg["cutoff"], cfg["max_neighbors"], cfg["batch_size"],
+        fixed_degree=fixed_degree,
     )
     loader = PaddedLoader(
-        ds, cfg["batch_size"], cfg["cutoff"], cfg["max_neighbors"], n_pad, e_pad
+        ds, cfg["batch_size"], cfg["cutoff"], cfg["max_neighbors"], n_pad,
+        e_pad, fixed_degree=fixed_degree,
     )
 
     model = EquiformerV2MatPES(
@@ -85,8 +99,12 @@ def main(argv=None):
         cutoff=cfg["cutoff"],
         avg_degree=cfg["avg_degree"],
         gata=cfg["gata"],
+        fixed_degree=fixed_degree,
         normalize_attn_output=cfg.get("normalize_attn_output", True),
         use_phi_every_layer=cfg.get("use_phi_every_layer", False),
+        # param-tree structure must match the checkpoint's (scan stacks
+        # block params under 'blocks')
+        scan_layers=cfg.get("scan_layers", True),
     )
     first = next(iter(loader))
     fb = {k: jnp.asarray(v) for k, v in first.asdict().items()}
@@ -114,7 +132,8 @@ def main(argv=None):
 
     with open(os.path.join(run_dir, f"eval_{args.split}.json"), "w") as f:
         json.dump(
-            {"energy_mae_mev_per_atom": e_mae, "force_mae_mev_per_a": f_mae},
+            {"energy_mae_mev_per_atom": float(e_mae),
+             "force_mae_mev_per_a": float(f_mae)},
             f, indent=2,
         )
 
