@@ -254,15 +254,15 @@ def matpes_energy_forces_stress(
         )
         return jnp.sum(outs["energy_total"]), outs
 
-    # checkpoint the inner energy evaluation: when the training loss is
-    # differentiated, the outer backward would otherwise store the *stacked*
-    # linearization residuals of this inner force pass (observed as
-    # [layers, chunks, grid, grid, C] multi-GB buffers); rematerializing
-    # trades that for one extra forward.  ETQ_INNER_CKPT=0 disables (costs
-    # HBM, saves one inner forward per outer backward — measure per shape).
+    # ETQ_INNER_CKPT=1 wraps the inner energy evaluation in jax.checkpoint:
+    # the outer backward then rematerializes instead of storing the inner
+    # force pass's linearization residuals.  Default OFF since round 4 —
+    # the flagship batch-16 step fits v5e HBM without it and the remat
+    # re-forward cost ~40% of the step (353.5 -> 211.6 ms device; bench
+    # A/B).  Turn on for memory-constrained configs (bigger grids/batches).
     import os as _os
 
-    if _os.environ.get("ETQ_INNER_CKPT", "1") == "1":
+    if _os.environ.get("ETQ_INNER_CKPT", "0") == "1":
         energy_fn = jax.checkpoint(energy_fn)
     dpos, outs = jax.grad(energy_fn, has_aux=True)(batch["pos"])
     forces = -dpos * batch["node_mask"][:, None].astype(dpos.dtype)
@@ -293,7 +293,10 @@ def matpes_energy_forces_stress_pergraph(
         )
         return jnp.sum(outs["energy_total"]), outs
 
-    energy_fn = jax.checkpoint(energy_fn)  # see matpes_energy_forces_stress
+    import os as _os
+
+    if _os.environ.get("ETQ_INNER_CKPT", "0") == "1":
+        energy_fn = jax.checkpoint(energy_fn)   # see matpes_energy_forces_stress
     B = batch["cell"].shape[0]
     strain0 = jnp.zeros((B, 3, 3), dtype=batch["pos"].dtype)
     (grads, outs) = jax.grad(energy_fn, argnums=(0, 1), has_aux=True)(
