@@ -86,11 +86,20 @@ class S2Grid:
                 from_grid[:, :, sl] *= f
 
         keep = get_layout(lmax, mmax).full_indices
-        self.to_grid_mat = jnp.asarray(to_grid[:, :, keep], dtype=jnp.float32)
-        self.from_grid_mat = jnp.asarray(from_grid[:, :, keep], dtype=jnp.float32)
-        # full (mmax = lmax) variants for FFN grid path on untruncated features
-        self.to_grid_mat_full = jnp.asarray(to_grid, dtype=jnp.float32)
-        self.from_grid_mat_full = jnp.asarray(from_grid, dtype=jnp.float32)
+        # ensure_compile_time_eval: these jnp constants are CACHED (lru_cache
+        # on s2grid) — created inside an ambient trace they would be tracers
+        # and leak into later traces (UnexpectedTracerError when a second
+        # test/model reuses the cached grid)
+        with jax.ensure_compile_time_eval():
+            self.to_grid_mat = jnp.asarray(
+                to_grid[:, :, keep], dtype=jnp.float32
+            )
+            self.from_grid_mat = jnp.asarray(
+                from_grid[:, :, keep], dtype=jnp.float32
+            )
+            # full (mmax = lmax) variants for the FFN grid path
+            self.to_grid_mat_full = jnp.asarray(to_grid, dtype=jnp.float32)
+            self.from_grid_mat_full = jnp.asarray(from_grid, dtype=jnp.float32)
 
     def to_grid(self, x):
         """[N, K_red, C] coefficients -> [N, b, a, C] grid values."""
