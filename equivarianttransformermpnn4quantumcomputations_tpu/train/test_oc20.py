@@ -58,11 +58,15 @@ def main(argv=None):
             OC20LmdbDataset if str(path).endswith(".lmdb") else OC20Dataset
         )
         ds = ds_cls(path)
+    # layout must match the model build_oc20_model produces from cfg
+    fixed_degree = cfg.get("fixed_degree", True)
     n_pad, e_pad = infer_pad_sizes(
-        ds, cfg["cutoff"], cfg["max_neighbors"], cfg["batch_size"]
+        ds, cfg["cutoff"], cfg["max_neighbors"], cfg["batch_size"],
+        fixed_degree=fixed_degree,
     )
     loader = PaddedLoader(
-        ds, cfg["batch_size"], cfg["cutoff"], cfg["max_neighbors"], n_pad, e_pad
+        ds, cfg["batch_size"], cfg["cutoff"], cfg["max_neighbors"], n_pad,
+        e_pad, fixed_degree=fixed_degree,
     )
 
     model = build_oc20_model(cfg)

@@ -49,12 +49,14 @@ def main(argv=None):
         len(dataset), cfg["val_split"], cfg["test_split"]
     )
     idx = te if args.split == "test" else va
+    fixed_degree = cfg.get("fixed_degree", True)
     n_pad, e_pad = infer_pad_sizes(
-        dataset, cfg["cutoff"], cfg["max_neighbors"], cfg["batch_size"]
+        dataset, cfg["cutoff"], cfg["max_neighbors"], cfg["batch_size"],
+        fixed_degree=fixed_degree,
     )
     loader = PaddedLoader(
         dataset, cfg["batch_size"], cfg["cutoff"], cfg["max_neighbors"],
-        n_pad, e_pad, indices=idx,
+        n_pad, e_pad, indices=idx, fixed_degree=fixed_degree,
     )
 
     n_targets = (
@@ -76,6 +78,7 @@ def main(argv=None):
         max_num_elements=cfg["max_num_elements"],
         cutoff=cfg["cutoff"],
         avg_degree=cfg["avg_degree"],
+        fixed_degree=fixed_degree,
     )
     first = next(iter(loader))
     fb = {k: jnp.asarray(v) for k, v in first.asdict().items()}
