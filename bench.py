@@ -382,7 +382,7 @@ def bench_qm9():
         make_optimizer,
     )
 
-    B, atoms = 48, 18
+    B, atoms = int(os.environ.get("ETQ_BENCH_QM9_GRAPHS", 48)), 18
     cfg = dict(
         alpha_drop=0.0, drop_path_rate=0.0, scan_layers=True,
         compute_dtype="bfloat16" if BF16 else "float32",
@@ -434,7 +434,7 @@ def bench_oc20():
         make_optimizer,
     )
 
-    B, atoms = 4, 72
+    B, atoms = int(os.environ.get("ETQ_BENCH_OC20_GRAPHS", 4)), 72
     cfg = dict(
         alpha_drop=0.0, drop_path_rate=0.0, scan_layers=True,
         compute_dtype="bfloat16" if BF16 else "float32",
