@@ -27,8 +27,14 @@ import jax.numpy as jnp
 __all__ = ["gather_nodes", "segment_sum_sorted_pallas"]
 
 
-def _seg_sum_impl(vals2d, ids, num_segments: int, blocks):
-    E, D = vals2d.shape
+def _seg_sum_impl(vals, ids, num_segments: int, blocks):
+    # vals: [E, ...] with trailing dims UNFLATTENED — flattening (K, C) into
+    # one axis retiles the minor (lane) dimension and XLA materializes it as
+    # a real data shuffle (~0.7 ms per [10240, 25, 128] tensor on v5e); with
+    # trailing dims kept, the per-graph split below is a free leading-dim
+    # bitcast and the contraction keeps (K, C) as grouped non-contracting
+    # dims of one dot_general.
+    E = vals.shape[0]
     if blocks is not None:
         blocks = blocks[:3]
     if blocks is not None:
@@ -39,38 +45,38 @@ def _seg_sum_impl(vals2d, ids, num_segments: int, blocks):
         # (the flat one-hot was quadratic, the batch-16 regression of
         # PERF.md).  Out-of-block ids produce all-zero one-hot rows.
         B, n_max, e_max = blocks
-        v = vals2d.reshape(B, e_max, D)
+        v = vals.reshape((B, e_max) + vals.shape[1:])
         lid = ids.reshape(B, e_max) - (
             jnp.arange(B, dtype=ids.dtype) * n_max
         )[:, None]
         onehot = (
             lid[:, :, None] == jnp.arange(n_max, dtype=ids.dtype)[None, None, :]
-        ).astype(vals2d.dtype)
-        out = jnp.einsum("ben,bed->bnd", onehot, v)
-        return out.reshape(B * n_max, D)
+        ).astype(vals.dtype)
+        out = jnp.einsum("ben,be...->bn...", onehot, v)
+        return out.reshape((B * n_max,) + vals.shape[1:])
     from ...utils.backend import on_tpu
 
     if on_tpu():
         # one-hot MXU matmul: TPU scatter-add is serialized (~1.5x slower)
         onehot = (
             ids[:, None] == jnp.arange(num_segments, dtype=ids.dtype)[None, :]
-        ).astype(vals2d.dtype)
-        return jnp.einsum("en,ed->nd", onehot, vals2d)
-    return jax.ops.segment_sum(vals2d, ids, num_segments=num_segments)
+        ).astype(vals.dtype)
+        return jnp.einsum("en,e...->n...", onehot, vals)
+    return jax.ops.segment_sum(vals, ids, num_segments=num_segments)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def _seg_sum(vals2d, ids, num_segments, blocks):
-    return _seg_sum_impl(vals2d, ids, num_segments, blocks)
+def _seg_sum(vals, ids, num_segments, blocks):
+    return _seg_sum_impl(vals, ids, num_segments, blocks)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def _gather(src2d, ids, num_segments, blocks):
-    return src2d[ids]
+def _gather(src, ids, num_segments, blocks):
+    return src[ids]
 
 
-def _seg_sum_fwd(vals2d, ids, num_segments, blocks):
-    return _seg_sum(vals2d, ids, num_segments, blocks), ids
+def _seg_sum_fwd(vals, ids, num_segments, blocks):
+    return _seg_sum(vals, ids, num_segments, blocks), ids
 
 
 def _seg_sum_bwd(num_segments, blocks, ids, dout):
@@ -97,10 +103,7 @@ def segment_sum_sorted_pallas(vals, ids, num_segments: int, blocks=None):
     e_max)`` enables the graph-uniform block-diagonal path.  Name kept from
     the rejected streaming-kernel experiment; dispatch is the matmul pair.
     """
-    E = vals.shape[0]
-    flat = vals.reshape(E, -1)
-    out = _seg_sum(flat, ids, num_segments, blocks)
-    return out.reshape((num_segments,) + vals.shape[1:])
+    return _seg_sum(vals, ids, num_segments, blocks)
 
 
 def gather_nodes(x, ids, blocks=None, canonical_dst=False):
@@ -129,6 +132,4 @@ def gather_nodes(x, ids, blocks=None, canonical_dst=False):
             x[:, None], (N, k) + x.shape[1:]
         )
         return out.reshape((N * k,) + x.shape[1:])
-    flat = x.reshape(N, -1)
-    out = _gather(flat, ids, N, blocks)
-    return out.reshape((ids.shape[0],) + x.shape[1:])
+    return _gather(x, ids, N, blocks)

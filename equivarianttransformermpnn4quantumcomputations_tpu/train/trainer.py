@@ -69,28 +69,97 @@ def _wd_mask(params) -> Any:
     return jax.tree_util.tree_map_with_path(mask_fn, params)
 
 
+def _guarded_clip_adamw(adamw, grad_clip: float, max_consecutive_errors: int):
+    """Global-norm clip + non-finite skip guard sharing ONE reduction pass.
+
+    ``optax.apply_if_finite`` runs a separate isfinite+reduce kernel per
+    gradient leaf (~108 kernels, ~6.5 ms/step on the flagship — 2.5% of the
+    b16 device profile), and ``optax.clip_by_global_norm`` inside the guarded
+    branch re-reduces every leaf again for the norm.  Both only need the one
+    number: ``isfinite(global_norm)`` is the same predicate (NaN/Inf in any
+    leaf propagates through the sum of squares), so this transformation
+    computes the global norm once and feeds both the clip scale and the
+    skip decision, with the inner adamw under ``lax.cond`` so a skipped step
+    freezes its state exactly like ``apply_if_finite``.
+
+    One semantic difference, strictly safer: a finite gradient whose sum of
+    squares overflows f32 also skips (see the round-4 note on finite-but-huge
+    losses slipping past the per-leaf test).
+
+    The state pytree is ``ApplyIfFiniteState(inner_state=(EmptyState,
+    adamw_state))`` — the exact structure the previous
+    ``apply_if_finite(chain(clip, adamw))`` stack produced, so existing
+    orbax checkpoints restore unchanged.
+    """
+
+    def init(params):
+        return optax.ApplyIfFiniteState(
+            notfinite_count=jnp.zeros([], jnp.int32),
+            last_finite=jnp.array(True, jnp.bool_),
+            total_notfinite=jnp.zeros([], jnp.int32),
+            inner_state=(optax.EmptyState(), adamw.init(params)),
+        )
+
+    def update(updates, state, params=None):
+        adamw_state = state.inner_state[1]
+        gnorm = optax.global_norm(updates)
+        isfinite = jnp.isfinite(gnorm)
+        notfinite_count = jnp.where(
+            isfinite,
+            jnp.zeros([], jnp.int32),
+            optax.safe_increment(state.notfinite_count),
+        )
+        accept = jnp.logical_or(
+            isfinite, notfinite_count > max_consecutive_errors
+        )
+        scale = jnp.minimum(1.0, grad_clip / jnp.maximum(gnorm, 1e-12))
+        clipped = jax.tree_util.tree_map(
+            lambda g: (g.astype(jnp.float32) * scale).astype(g.dtype), updates
+        )
+
+        def do(_):
+            return adamw.update(clipped, adamw_state, params)
+
+        def reject(_):
+            return jax.tree_util.tree_map(jnp.zeros_like, updates), adamw_state
+
+        new_updates, new_adamw_state = jax.lax.cond(
+            accept, do, reject, operand=None
+        )
+        return new_updates, optax.ApplyIfFiniteState(
+            notfinite_count=notfinite_count,
+            last_finite=isfinite,
+            total_notfinite=jnp.where(
+                isfinite,
+                state.total_notfinite,
+                optax.safe_increment(state.total_notfinite),
+            ),
+            inner_state=(optax.EmptyState(), new_adamw_state),
+        )
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(
     lr_schedule: Callable,
     weight_decay: float = 0.0,
     grad_clip: float = 1.0,
     skip_nonfinite: bool = True,
 ):
-    tx = optax.chain(
-        optax.clip_by_global_norm(grad_clip),
-        optax.adamw(
-            learning_rate=lr_schedule,
-            b1=0.9,
-            b2=0.999,
-            eps=1e-8,
-            weight_decay=weight_decay,
-            mask=_wd_mask if weight_decay > 0 else None,
-        ),
+    adamw = optax.adamw(
+        learning_rate=lr_schedule,
+        b1=0.9,
+        b2=0.999,
+        eps=1e-8,
+        weight_decay=weight_decay,
+        mask=_wd_mask if weight_decay > 0 else None,
     )
-    if skip_nonfinite:
-        # skip updates when grads are non-finite; give up the guard after
-        # 10^6 consecutive bad steps (diverged anyway)
-        tx = optax.apply_if_finite(tx, max_consecutive_errors=1_000_000)
-    return tx
+    if not skip_nonfinite:
+        return optax.chain(optax.clip_by_global_norm(grad_clip), adamw)
+    # skip updates when grads are non-finite; give up the guard after
+    # 10^6 consecutive bad steps (diverged anyway).  Single-reduction
+    # clip+guard — see _guarded_clip_adamw.
+    return _guarded_clip_adamw(adamw, grad_clip, max_consecutive_errors=1_000_000)
 
 
 def create_train_state(params, tx) -> TrainState:

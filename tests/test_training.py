@@ -134,3 +134,84 @@ def test_init_params_host_matches_device_init():
         ),
         p_host, p_dev,
     )
+
+
+# ── single-reduction clip + non-finite guard (trainer._guarded_clip_adamw) ──
+
+
+def _tiny_params():
+    return {
+        "dense": {"kernel": jnp.ones((4, 4), jnp.float32) * 0.1,
+                  "bias": jnp.zeros((4,), jnp.float32)},
+        "embed": {"weight": jnp.ones((3, 4), jnp.float32)},
+    }
+
+
+def test_guarded_optimizer_matches_reference_stack_on_finite_grads():
+    """The fused clip+guard must produce the same updates and the same state
+    PYTREE STRUCTURE as apply_if_finite(chain(clip_by_global_norm, adamw)) —
+    structure equality keeps old orbax checkpoints restorable."""
+    import optax
+
+    from equivarianttransformermpnn4quantumcomputations_tpu.train.trainer import (
+        _wd_mask,
+    )
+
+    params = _tiny_params()
+    sched = lambda step: 1e-3
+    tx_new = make_optimizer(sched, weight_decay=1e-2)
+    tx_ref = optax.apply_if_finite(
+        optax.chain(
+            optax.clip_by_global_norm(1.0),
+            optax.adamw(sched, weight_decay=1e-2, mask=_wd_mask),
+        ),
+        max_consecutive_errors=1_000_000,
+    )
+    s_new, s_ref = tx_new.init(params), tx_ref.init(params)
+    assert (jax.tree_util.tree_structure(s_new)
+            == jax.tree_util.tree_structure(s_ref))
+
+    # same updates as the unfused stack (big grads so the clip engages)
+    grads = jax.tree_util.tree_map(lambda p: 3.0 * jnp.ones_like(p), params)
+    u_new, _ = tx_new.update(grads, s_new, params)
+    u_ref, _ = tx_ref.update(grads, s_ref, params)
+    for a, b in zip(jax.tree_util.tree_leaves(u_new),
+                    jax.tree_util.tree_leaves(u_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
+
+def test_guarded_optimizer_skips_nonfinite_and_freezes_state():
+    params = _tiny_params()
+    tx = make_optimizer(lambda step: 1e-3, weight_decay=0.0)
+    state0 = tx.init(params)
+
+    bad = jax.tree_util.tree_map(lambda p: jnp.full_like(p, jnp.nan), params)
+    updates, state1 = tx.update(bad, state0, params)
+    # update is a no-op and the adam moments are untouched
+    assert all(np.all(np.asarray(u) == 0.0)
+               for u in jax.tree_util.tree_leaves(updates))
+    for a, b in zip(jax.tree_util.tree_leaves(state0.inner_state),
+                    jax.tree_util.tree_leaves(state1.inner_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(state1.notfinite_count) == 1
+    assert int(state1.total_notfinite) == 1
+    assert not bool(state1.last_finite)
+
+    # an inf leaf is also rejected (inf propagates through the global norm)
+    bad_inf = dict(_tiny_params())
+    bad_inf["dense"] = dict(bad_inf["dense"])
+    bad_inf["dense"]["kernel"] = jnp.full((4, 4), jnp.inf)
+    updates, state2 = tx.update(bad_inf, state1, params)
+    assert all(np.all(np.asarray(u) == 0.0)
+               for u in jax.tree_util.tree_leaves(updates))
+    assert int(state2.notfinite_count) == 2
+
+    # a good step afterwards applies and resets the consecutive counter
+    good = jax.tree_util.tree_map(lambda p: 0.01 * jnp.ones_like(p), params)
+    updates, state3 = tx.update(good, state2, params)
+    assert any(np.any(np.asarray(u) != 0.0)
+               for u in jax.tree_util.tree_leaves(updates))
+    assert int(state3.notfinite_count) == 0
+    assert int(state3.total_notfinite) == 2
+    assert bool(state3.last_finite)
