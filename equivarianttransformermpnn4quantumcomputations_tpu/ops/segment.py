@@ -82,7 +82,11 @@ def segment_sum(values, segment_ids, num_segments: int, mask=None,
                 lid[:, :, None]
                 == jnp.arange(n_max, dtype=segment_ids.dtype)[None, None, :]
             ).astype(values.dtype)
-            out = jnp.einsum("ben,be...->bn...", onehot, v)
+            # explicit dot_general (batch b, contract e, rhs free dims
+            # grouped): ellipsis einsum lowers as VPU multiply+reduce
+            out = jax.lax.dot_general(
+                onehot, v, (((1,), (1,)), ((0,), (0,)))
+            )
             return out.reshape((num_segments,) + values.shape[1:])
     use_matmul = method == "matmul" or (
         method == "auto"
@@ -94,7 +98,9 @@ def segment_sum(values, segment_ids, num_segments: int, mask=None,
             segment_ids[:, None]
             == jnp.arange(num_segments, dtype=segment_ids.dtype)[None, :]
         ).astype(values.dtype)
-        return jnp.einsum("en,e...->n...", onehot, values)
+        return jax.lax.dot_general(
+            onehot, values, (((0,), (0,)), ((), ()))
+        )
     return jax.ops.segment_sum(
         values, segment_ids, num_segments=num_segments
     )
