@@ -30,7 +30,6 @@ size; it is a round-over-round comparator, NOT a measured baseline (the
 grounded numbers are graphs/s and MFU).
 """
 
-import contextlib
 import json
 import os
 import subprocess
@@ -78,17 +77,6 @@ RETRIES = int(os.environ.get("ETQ_BENCH_RETRIES", 2))
 # profiled device-time measurement (TPU only; adds ~3 steps per workload)
 DEVICE_PROFILE = os.environ.get("ETQ_BENCH_DEVICE_PROFILE", "1") == "1"
 
-# ETQ_* knobs that shape the production compute path (recorded + defaulted
-# here so the artifact states what actually ran, not just what was exported)
-_KNOB_DEFAULTS = {
-    "ETQ_WIGNER": "dense (tpu) / factored (cpu)",
-    "ETQ_S2_FUSED": "1",
-    "ETQ_S2_FUSED_MIN_ROWS": "0",
-    "ETQ_S2_CKPT": "0",
-    "ETQ_M0_ONLY": "1",
-}
-
-
 def _provenance():
     def _git(*args):
         try:
@@ -99,9 +87,18 @@ def _provenance():
         except Exception:
             return None
 
+    import dataclasses
+
     import jax
 
-    knobs = dict(_KNOB_DEFAULTS)
+    from equivarianttransformermpnn4quantumcomputations_tpu.utils import (
+        flags as _flags,
+    )
+
+    # the RESOLVED kernel flags the timed step ran with (utils/flags.py:
+    # import-time env resolution — the artifact states what actually ran),
+    # plus any raw ETQ_BENCH_* shape knobs from the environment
+    knobs = dataclasses.asdict(_flags.current())
     knobs.update(
         {k: v for k, v in os.environ.items() if k.startswith("ETQ_")}
     )
@@ -124,20 +121,6 @@ def _provenance():
     }
 
 
-@contextlib.contextmanager
-def _envvars(**kv):
-    old = {k: os.environ.get(k) for k in kv}
-    os.environ.update({k: str(v) for k, v in kv.items()})
-    try:
-        yield
-    finally:
-        for k, v in old.items():
-            if v is None:
-                os.environ.pop(k, None)
-            else:
-                os.environ[k] = v
-
-
 def _semantic_flops(raw_step, *args):
     """FLOPs/step from an unoptimized pure-XLA lowering (no compile).
 
@@ -158,8 +141,12 @@ def _semantic_flops(raw_step, *args):
     def probe_cpu(*a):
         return raw_step(*a)
 
+    from equivarianttransformermpnn4quantumcomputations_tpu.utils import (
+        flags as _flags,
+    )
+
     try:
-        with _envvars(ETQ_WIGNER="factored", ETQ_S2_FUSED="0"):
+        with _flags.override(wigner="factored", s2_fused="off"):
             cost = jax.jit(probe_tpu).lower(*args).cost_analysis()
             if cost is None and jax.default_backend() != "cpu":
                 # TPU lowerings return no pre-compile cost analysis on this

@@ -22,10 +22,16 @@ __all__ = ["PaddedLoader", "infer_pad_sizes"]
 
 def infer_pad_sizes(
     dataset, cutoff: float, max_neighbors: int | None,
-    batch_size: int, sample: int = 64, safety: float = 1.25,
+    batch_size: int, sample: int = 512, safety: float = 1.25,
     uniform: bool = False, fixed_degree: bool = False,
 ):
     """Estimate (n_pad, e_pad) from a sample of the dataset.
+
+    ``sample``: how many graphs to measure (default 512; raised from 64 in
+    round 5 — a tail-heavy dataset can hide its largest graphs from a small
+    sample and overflow at train time, VERDICT r4 #8).  Overflowing batches
+    are detected and counted (graph.py:collate warns; PaddedLoader
+    aggregates) — this sizing only controls how often that happens.
 
     ``uniform=True``: sizes compatible with graph-uniform blocking
     (n_pad/e_pad divisible by batch_size, per-graph capacity = the sampled
@@ -112,6 +118,11 @@ class PaddedLoader:
         self.num_shards = num_shards
         self.shard_id = shard_id
         self.epoch = 0
+        # per-epoch overflow counters (reset at the start of each __iter__;
+        # see graph.py:collate — non-zero means batches lost atoms/edges)
+        self.overflow_atoms = 0
+        self.overflow_edges = 0
+        self.overflow_batches = 0
 
     def __len__(self):
         n = len(range(self.shard_id, len(self.indices), self.num_shards))
@@ -132,12 +143,20 @@ class PaddedLoader:
 
     def _build(self, batch_idx) -> PaddedBatch:
         samples = [self.dataset[int(i)] for i in batch_idx]
-        return collate(
+        pb = collate(
             samples, self.cutoff, self.max_neighbors, self.n_pad, self.e_pad,
             uniform=self.uniform, fixed_degree=self.fixed_degree,
         )
+        if pb.overflow_atoms or pb.overflow_edges:
+            self.overflow_atoms += pb.overflow_atoms
+            self.overflow_edges += pb.overflow_edges
+            self.overflow_batches += 1
+        return pb
 
     def __iter__(self) -> Iterator[PaddedBatch]:
+        self.overflow_atoms = 0
+        self.overflow_edges = 0
+        self.overflow_batches = 0
         if self.prefetch <= 0:
             for bi in self._index_batches():
                 yield self._build(bi)

@@ -167,6 +167,10 @@ class EquiformerV2Backbone(nn.Module):
     # reduction — no one-hot GEMMs, no scatter, no layout copies (the
     # round-3 roofline's biggest movement bucket).  Implies uniform_blocks.
     fixed_degree: bool = False
+    # Wigner representation: 'auto' (flags / platform default) | 'dense' |
+    # 'factored' | 'blocks' — a model attribute so the choice is pinned at
+    # construction, not trace time (VERDICT r4 #6)
+    wigner_rep: str = "auto"
 
     @nn.compact
     def __call__(
@@ -219,7 +223,8 @@ class EquiformerV2Backbone(nn.Module):
         dist = jnp.sqrt(jnp.maximum(jnp.sum(dvec * dvec, -1), 1e-12))
 
         # ── per-edge Wigner matrices (detached geometry) ──────────────────
-        # ETQ_WIGNER selects the representation (all numerically identical):
+        # self.wigner_rep / flags.current().wigner selects the representation
+        # (all numerically identical):
         #   dense    — composite block-sparse D built ONCE per forward, each
         #              rotate is a pairs-kernel VPU pass (ops/pallas/
         #              rotate_dense.py); measured 32.2 -> 43.1 graphs/s on
@@ -230,12 +235,14 @@ class EquiformerV2Backbone(nn.Module):
         #   blocks   — per-degree dense D, XLA batched-matmul application
         #              (measured 25.3 g/s: XLA lowers the tiny batched
         #              matmuls poorly)
-        import os as _os
-
+        from ..utils import flags as _flags
         from ..utils.backend import on_tpu
 
-        _default = "dense" if on_tpu() else "factored"
-        _wrep = _os.environ.get("ETQ_WIGNER", _default)
+        _wrep = self.wigner_rep
+        if _wrep == "auto":
+            _wrep = _flags.current().wigner
+        if _wrep == "auto":
+            _wrep = "dense" if on_tpu() else "factored"
         if _wrep == "blocks":
             from ..ops.rotation import compute_wigner_blocks
 

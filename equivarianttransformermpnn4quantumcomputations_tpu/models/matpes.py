@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from ..nn.ffn import FeedForward
 from ..ops.s2grid import s2grid
 from ..ops.segment import segment_sum
+from ..utils import flags as _flags
 from .backbone import EquiformerV2Backbone
 
 __all__ = ["EquiformerV2MatPES", "matpes_energy_forces_stress"]
@@ -82,6 +83,8 @@ class EquiformerV2MatPES(nn.Module):
     scan_layers: bool = False
     uniform_blocks: bool = False
     fixed_degree: bool = False
+    # Wigner representation (construction-time; 'auto' = flags/platform)
+    wigner_rep: str = "auto"
     compute_dtype: str = "float32"
 
     @nn.compact
@@ -127,6 +130,7 @@ class EquiformerV2MatPES(nn.Module):
             scan_layers=self.scan_layers,
             uniform_blocks=self.uniform_blocks,
             fixed_degree=self.fixed_degree,
+            wigner_rep=self.wigner_rep,
             compute_dtype=self.compute_dtype,
             name="backbone",
         )(
@@ -233,6 +237,7 @@ def matpes_energy_forces_stress(
     regress_stress: bool = False,
     rngs=None,
     deterministic: bool = True,
+    inner_ckpt: bool | None = None,
 ):
     """Energy + forces (+ stress) with a single grad pass.
 
@@ -245,7 +250,8 @@ def matpes_energy_forces_stress(
     """
     if regress_stress:
         return matpes_energy_forces_stress_pergraph(
-            model, params, batch, rngs=rngs, deterministic=deterministic
+            model, params, batch, rngs=rngs, deterministic=deterministic,
+            inner_ckpt=inner_ckpt,
         )
 
     def energy_fn(pos):
@@ -254,15 +260,16 @@ def matpes_energy_forces_stress(
         )
         return jnp.sum(outs["energy_total"]), outs
 
-    # ETQ_INNER_CKPT=1 wraps the inner energy evaluation in jax.checkpoint:
-    # the outer backward then rematerializes instead of storing the inner
-    # force pass's linearization residuals.  Default OFF since round 4 —
-    # the flagship batch-16 step fits v5e HBM without it and the remat
+    # inner_ckpt wraps the inner energy evaluation in jax.checkpoint: the
+    # outer backward then rematerializes instead of storing the inner force
+    # pass's linearization residuals.  Default OFF since round 4 — the
+    # flagship batch-16 step fits v5e HBM without it and the remat
     # re-forward cost ~40% of the step (353.5 -> 211.6 ms device; bench
-    # A/B).  Turn on for memory-constrained configs (bigger grids/batches).
-    import os as _os
-
-    if _os.environ.get("ETQ_INNER_CKPT", "0") == "1":
+    # A/B).  Turn on for memory-constrained configs (bigger grids/batches)
+    # via the argument or ETQ_INNER_CKPT=1 at process start (utils/flags.py).
+    if inner_ckpt is None:
+        inner_ckpt = _flags.current().inner_ckpt
+    if inner_ckpt:
         energy_fn = jax.checkpoint(energy_fn)
     dpos, outs = jax.grad(energy_fn, has_aux=True)(batch["pos"])
     forces = -dpos * batch["node_mask"][:, None].astype(dpos.dtype)
@@ -277,6 +284,7 @@ def matpes_energy_forces_stress_pergraph(
     batch: dict,
     rngs=None,
     deterministic: bool = True,
+    inner_ckpt: bool | None = None,
 ):
     """Per-graph stress: one symmetric strain per graph ([B, 3, 3])."""
 
@@ -293,9 +301,9 @@ def matpes_energy_forces_stress_pergraph(
         )
         return jnp.sum(outs["energy_total"]), outs
 
-    import os as _os
-
-    if _os.environ.get("ETQ_INNER_CKPT", "0") == "1":
+    if inner_ckpt is None:
+        inner_ckpt = _flags.current().inner_ckpt
+    if inner_ckpt:
         energy_fn = jax.checkpoint(energy_fn)   # see matpes_energy_forces_stress
     B = batch["cell"].shape[0]
     strain0 = jnp.zeros((B, 3, 3), dtype=batch["pos"].dtype)

@@ -61,6 +61,8 @@ class EquiformerV2OC20(nn.Module):
     scan_layers: bool = False
     uniform_blocks: bool = False
     fixed_degree: bool = False
+    # Wigner representation (construction-time; 'auto' = flags/platform)
+    wigner_rep: str = "auto"
     compute_dtype: str = "float32"
 
     @nn.compact
@@ -96,6 +98,7 @@ class EquiformerV2OC20(nn.Module):
             scan_layers=self.scan_layers,
             uniform_blocks=self.uniform_blocks,
             fixed_degree=self.fixed_degree,
+            wigner_rep=self.wigner_rep,
             compute_dtype=self.compute_dtype,
             name="backbone",
         )(

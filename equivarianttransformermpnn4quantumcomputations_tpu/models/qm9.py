@@ -50,6 +50,8 @@ class EquiformerV2QM9(nn.Module):
     scan_layers: bool = False
     uniform_blocks: bool = False
     fixed_degree: bool = False
+    # Wigner representation (construction-time; 'auto' = flags/platform)
+    wigner_rep: str = "auto"
     # one vmapped head stack (stacked params, batched einsums) instead of
     # num_targets sequential FFN heads — same math, ~num_targets x fewer
     # kernel launches
@@ -90,6 +92,7 @@ class EquiformerV2QM9(nn.Module):
             scan_layers=self.scan_layers,
             uniform_blocks=self.uniform_blocks,
             fixed_degree=self.fixed_degree,
+            wigner_rep=self.wigner_rep,
             compute_dtype=self.compute_dtype,
             name="backbone",
         )(

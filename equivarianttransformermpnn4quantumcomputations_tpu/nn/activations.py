@@ -46,67 +46,49 @@ def gate_activation(gating_scalars, x, lmax: int, mmax: int, num_channels: int):
 
 # Auto-chunking: the grid representation [N, res_b, res_a, C] is the single
 # largest activation in the network (e.g. [12288 edges, 18, 18, 128] = 2 GB).
-# When it would exceed _CHUNK_THRESHOLD bytes, process the leading axis in
+# When it would exceed the chunk threshold, process the leading axis in
 # lax.map chunks — the scan forces XLA to schedule chunks sequentially, so
 # peak memory drops to one chunk while FLOPs are unchanged.
 # With the jax.checkpoint below, grid tensors are transients (never stored as
 # AD residuals), so the threshold only needs to bound the *live* working set:
 # keep it high — fine-grained chunking serializes the MXU and costs far more
 # than it saves (measured 3x step-time regression at 32 MB chunks).
-import os
-
-# All ETQ_* knobs are read at CALL time (not import time) so that scoped
-# env overrides work — bench._semantic_flops traces a pure-XLA lowering
-# under ETQ_S2_FUSED=0 after this module is long imported.
-
-
-def _chunk_threshold() -> int:
-    return int(os.environ.get("ETQ_S2_CHUNK_THRESHOLD_MB", 1024)) * 1024 * 1024
+#
+# Path selection comes from utils/flags.py (import-time env resolution +
+# scoped overrides) — never os.environ at trace time (VERDICT r4 #6).
+from ..utils import flags as _flags
 
 
-def _chunk_target() -> int:
-    return int(os.environ.get("ETQ_S2_CHUNK_MB", 256)) * 1024 * 1024
-
-
-def _s2_ckpt() -> bool:
-    return os.environ.get("ETQ_S2_CKPT", "1") == "1"
-
-
-# fused Pallas kernel (ops/pallas/s2act.py): grid tensors never touch HBM.
-# ETQ_S2_FUSED: "1" (default): use on TPU.  "0": never.  "force": use even
-# off-TPU (interpret mode — for tests of the kernel's AD chain on CPU).
-# ETQ_S2_FUSED_MIN_ROWS: route sites with fewer leading rows to the
-# plain-XLA path.  Default 0 (kernel everywhere on TPU): the op-level
-# microbench says XLA-ckpt wins the flagship FFN site ([256, 25, 512]
-# grad2 2.66 ms vs 4.72 ms kernel), but COMPOSED into the unrolled
-# force-training step the XLA-ckpt route measured ~195 ms/step SLOWER
-# (19.34 -> 13.15 g/s, round 3) — checkpoint recompute in the full
-# grad-of-grad chain dwarfs the isolated-op win.  The knob remains for
-# experiments; the threshold keys on the STATIC padded row count.
-
-
-def _use_fused(n_rows: int | None = None) -> bool:
-    fused = os.environ.get("ETQ_S2_FUSED", "1")
-    if fused == "force":  # tests exercise the kernel chain at tiny N
+def _use_fused(n_rows: int | None, kern: _flags.KernelFlags) -> bool:
+    # fused Pallas kernel (ops/pallas/s2act.py): grid tensors never touch
+    # HBM.  s2_fused: 'auto' = on TPU; 'off' = never; 'force' = even
+    # off-TPU (interpret mode — tests of the kernel AD chain on CPU).
+    # s2_fused_min_rows routes small sites to plain XLA; default 0
+    # (kernel everywhere on TPU): the per-op microbench says XLA-ckpt wins
+    # the flagship FFN site, but COMPOSED into the unrolled force-training
+    # step the XLA-ckpt route measured ~195 ms/step SLOWER (round 3).
+    if kern.s2_fused == "force":
         return True
-    min_rows = int(os.environ.get("ETQ_S2_FUSED_MIN_ROWS", 0))
-    if n_rows is not None and n_rows < min_rows:
+    if kern.s2_fused == "off":
+        return False
+    if n_rows is not None and n_rows < kern.s2_fused_min_rows:
         return False
     from ..utils.backend import on_tpu
 
-    return fused == "1" and on_tpu()
+    return on_tpu()
 
 
-def s2_activation(x, grid: S2Grid):
+def s2_activation(x, grid: S2Grid, kern: _flags.KernelFlags | None = None):
     """Point-sample S2 activation: to-grid, SiLU, from-grid.
 
     Reference activation.py:153-170.  x: [N, K_red, C].
     """
+    kern = kern if kern is not None else _flags.current()
     N, K, C = x.shape
     pts = grid.res_beta * grid.res_alpha
     full_bytes = N * pts * C * 4
 
-    if _use_fused(N):
+    if _use_fused(N, kern):
         from ..ops.pallas.s2act import s2act_fused
 
         return s2act_fused(x, grid)
@@ -118,13 +100,14 @@ def s2_activation(x, grid: S2Grid):
     def act(xc):
         return grid.from_grid(jax.nn.silu(grid.to_grid(xc)))
 
-    if _s2_ckpt():
+    if kern.s2_ckpt:
         act = jax.checkpoint(act)
 
-    if full_bytes <= _chunk_threshold():
+    if full_bytes <= kern.s2_chunk_threshold_mb * 1024 * 1024:
         return act(x)
 
-    chunk = max(8, (_chunk_target() // (pts * C * 4)) // 8 * 8)
+    chunk_target = kern.s2_chunk_mb * 1024 * 1024
+    chunk = max(8, (chunk_target // (pts * C * 4)) // 8 * 8)
     n_chunks = -(-N // chunk)
     pad = n_chunks * chunk - N
     xp = jnp.pad(x, ((0, pad), (0, 0), (0, 0)))
@@ -132,7 +115,8 @@ def s2_activation(x, grid: S2Grid):
     return ys.reshape(n_chunks * chunk, K, C)[:N]
 
 
-def separable_s2_activation(gating_scalars, x, grid: S2Grid):
+def separable_s2_activation(gating_scalars, x, grid: S2Grid,
+                            kern: _flags.KernelFlags | None = None):
     """SiLU on separate l=0 scalars; S2 activation on the full tensor, keeping
     only its l>0 part.  Reference activation.py:173-192.
 
@@ -141,5 +125,5 @@ def separable_s2_activation(gating_scalars, x, grid: S2Grid):
         x: [N, K_red, C]
     """
     scalars = jax.nn.silu(gating_scalars)[:, None, :]
-    tensors = s2_activation(x, grid)
+    tensors = s2_activation(x, grid, kern)
     return jnp.concatenate([scalars, tensors[:, 1:, :]], axis=1)

@@ -144,14 +144,14 @@ class GraphAttention(nn.Module):
         # consume only the m = 0 block of the rotated message (alpha +
         # attn_output scalars) — rotate/convolve just that block.  Exactly
         # equal to the full path (same params; tests/test_variants.py);
-        # ETQ_M0_ONLY=0 opts out.
-        import os
+        # flags.override(m0_only=False) / ETQ_M0_ONLY=0 opts out.
+        from ..utils import flags as _flags
 
         m0_only = (
             (self.gata or self.gata_v1)
             and self.use_sep_s2_act
             and not self.use_gate_act
-            and os.environ.get("ETQ_M0_ONLY", "1") != "0"
+            and _flags.current().m0_only
         )
 
         alpha_ch = self.num_heads * self.attn_alpha_channels

@@ -88,8 +88,8 @@ def _seg_sum_bwd(num_segments, blocks, ids, dout):
     return _gather(dout, ids, num_segments, blocks), None
 
 
-def _gather_fwd(src2d, ids, num_segments, blocks):
-    return _gather(src2d, ids, num_segments, blocks), ids
+def _gather_fwd(src, ids, num_segments, blocks):
+    return _gather(src, ids, num_segments, blocks), ids
 
 
 def _gather_bwd(num_segments, blocks, ids, dvals):

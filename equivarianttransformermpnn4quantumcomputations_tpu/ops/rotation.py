@@ -422,12 +422,13 @@ def _rotate_from_edge_factored(w: WignerFactors, x, layout: IrrepsLayout):
 
 def _use_fused_rotate() -> bool:
     """Fused pallas rotate (ops/pallas/rotate.py): default on TPU;
-    ETQ_FUSED_ROTATE=0/1 overrides (tests use =1 with interpret mode)."""
-    import os
+    flags fused_rotate='on'/'off' overrides ('on' runs interpret mode
+    off-TPU — test use).  utils/flags.py, never os.environ at trace time."""
+    from ..utils import flags as _flags
 
-    v = os.environ.get("ETQ_FUSED_ROTATE", "")
-    if v != "":
-        return v not in ("0", "false", "off")
+    v = _flags.current().fused_rotate
+    if v != "auto":
+        return v == "on"
     from ..utils.backend import on_tpu
 
     return on_tpu()

@@ -17,10 +17,15 @@ import argparse
 import os
 import time
 
+import weakref
+
 import numpy as np
 
 
-_EVAL_FWD_CACHE: dict = {}
+# weak-keyed (VERDICT r4 #9): an id()-keyed cache can hand a NEW model object
+# a DEAD model's jitted fn after GC reuses the id.  flax Modules are frozen
+# dataclasses but support weakref; entries die with their model.
+_EVAL_FWD_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def evaluate(model, params, loader, energy_std: float):
@@ -33,12 +38,12 @@ def evaluate(model, params, loader, energy_std: float):
 
     # jitted per model instance: eager energy+forces dispatches thousands of
     # ops per batch through the device tunnel (~40 s/batch on the flagship)
-    eval_fwd = _EVAL_FWD_CACHE.get(id(model))
+    eval_fwd = _EVAL_FWD_CACHE.get(model)
     if eval_fwd is None:
         eval_fwd = jax.jit(
             lambda p, batch: matpes_energy_forces_stress(model, p, batch)
         )
-        _EVAL_FWD_CACHE[id(model)] = eval_fwd
+        _EVAL_FWD_CACHE[model] = eval_fwd
 
     e_err = f_err = 0.0
     e_cnt = f_cnt = 0
@@ -124,6 +129,25 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
+    # bf16 step (f32 master params/norms) is the production default on TPU
+    # (configs/matpes.py 'mixed_precision'); --mixed-precision forces it on
+    mixed_precision = bool(
+        args.mixed_precision or cfg.get("mixed_precision", False)
+    )
+
+    # persistent XLA compile cache: the production config unrolls the layer
+    # stack (5-30 min first compile through the remote compiler) — cache it
+    # across restarts/resumes so only the first launch pays
+    try:
+        cache_dir = cfg.get(
+            "compile_cache_dir", os.path.expanduser("~/.cache/etq_xla")
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass
+
     from ..data.loader import PaddedLoader, infer_pad_sizes
     from ..data.matpes import load_matpes
     from ..models.matpes import EquiformerV2MatPES
@@ -191,11 +215,13 @@ def main(argv=None):
         gata=cfg["gata"],
         normalize_attn_output=cfg.get("normalize_attn_output", True),
         use_phi_every_layer=cfg.get("use_phi_every_layer", False),
-        compute_dtype="bfloat16" if args.mixed_precision else "float32",
+        compute_dtype="bfloat16" if mixed_precision else "float32",
         uniform_blocks=uniform,
         fixed_degree=fixed_degree,
-        # fast-compile layer scan (PERF.md round-2 fix); unrolled peaks ~25%
-        # higher throughput but costs 30+ min compile
+        remat=cfg.get("remat", False),
+        # production config unrolls the layer stack — the benched path
+        # (VERDICT r4 #3); the one long compile is cached persistently below.
+        # Unknown/legacy configs default to the fast-compile layer scan.
         scan_layers=cfg.get("scan_layers", True),
     )
 
@@ -270,7 +296,8 @@ def main(argv=None):
                 model, tx, cfg["w_energy"], cfg["w_force"],
                 cfg["w_stress"] if cfg.get("regress_stress") else 0.0,
                 cfg["ema_decay"],
-                mixed_precision=args.mixed_precision,
+                mixed_precision=mixed_precision,
+                inner_ckpt=cfg.get("inner_ckpt"),
             ),
             donate_argnums=(0,),
         )
@@ -316,7 +343,7 @@ def main(argv=None):
             state, metrics = step_fn(state, batch, sub)
             loss = float(metrics["loss"])
             if not np.isfinite(loss):
-                nan_batches += 1  # update was skipped by apply_if_finite
+                nan_batches += 1  # update skipped by the trainer's NaN guard
             else:
                 losses.append(loss)
             latest["state"] = state
@@ -342,6 +369,14 @@ def main(argv=None):
                 f"E={e_mae:.1f} meV/atom F={f_mae:.1f} meV/A "
                 f"nan_skipped={nan_batches} ({dt:.1f}s)"
             )
+            if train_loader.overflow_batches:
+                print(
+                    f"  WARNING: {train_loader.overflow_batches} batches "
+                    f"overflowed the static pads this epoch (dropped "
+                    f"{train_loader.overflow_atoms} atoms / "
+                    f"{train_loader.overflow_edges} edges) — those graphs' "
+                    "physics is wrong; raise n_pad/e_pad"
+                )
         logger.log_epoch(
             epoch,
             {
@@ -349,6 +384,9 @@ def main(argv=None):
                 "val_energy_mae_mev": e_mae,
                 "val_force_mae_mev": f_mae,
                 "nan_batches": nan_batches,
+                "overflow_batches": train_loader.overflow_batches,
+                "overflow_atoms": train_loader.overflow_atoms,
+                "overflow_edges": train_loader.overflow_edges,
                 "sec": dt,
             },
         )

@@ -44,7 +44,11 @@ def build_oc20_model(cfg):
     )
 
 
-_EVAL_FWD_CACHE: dict = {}
+import weakref
+
+# weak-keyed: id() reuse after GC could hand a new model a dead model's
+# jitted fn (VERDICT r4 #9; same pattern as train_matpes.py)
+_EVAL_FWD_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def evaluate(model, params, loader):
@@ -58,12 +62,12 @@ def evaluate(model, params, loader):
 
     # jitted apply cached per model instance so per-epoch validation in the
     # trainer does not retrace
-    eval_fwd = _EVAL_FWD_CACHE.get(id(model))
+    eval_fwd = _EVAL_FWD_CACHE.get(model)
     if eval_fwd is None:
         eval_fwd = jax.jit(
             lambda p, batch: model.apply(p, batch, deterministic=True)
         )
-        _EVAL_FWD_CACHE[id(model)] = eval_fwd
+        _EVAL_FWD_CACHE[model] = eval_fwd
 
     e_err = f_err = 0.0
     e_cnt = f_cnt = 0

@@ -8,9 +8,14 @@ TPU-native equivalent of the reference trainer family
   train_oc20v2_parallel.py:72-92 + model ``no_weight_decay`` sets);
 * grad-norm clipping (reference clip_grad_norm_(1.0));
 * warmup+cosine schedule per step;
-* NaN/Inf guard: ``optax.apply_if_finite`` skips the update exactly like the
+* NaN/Inf guard: the fused single-reduction ``_guarded_clip_adamw``
+  (apply_if_finite-equivalent semantics: one global-norm reduction feeds both
+  the clip scale and the skip decision) skips the update exactly like the
   reference's skip-batch guard (train_MatPES_GATAWandB.py:83-89) — no Python
-  control flow under jit;
+  control flow under jit.  After ``max_consecutive_errors`` bad steps the
+  clipped updates are applied anyway (apply_if_finite semantics; with an Inf
+  norm the clip scale is 0 so zero updates apply — training has diverged
+  either way at that point);
 * EMA of params (reference hand-rolled ExponentialMovingAverage,
   train_oc20v2_parallel.py:95-125);
 * losses for the three workloads, masked for padding.
@@ -415,6 +420,7 @@ def make_matpes_train_step(
     w_stress: float = 0.0,
     ema_decay=0.999,
     mixed_precision: bool = False,
+    inner_ckpt: bool | None = None,
 ):
     from ..models.matpes import (
         matpes_energy_forces_stress,
@@ -429,11 +435,13 @@ def make_matpes_train_step(
                 outs = matpes_energy_forces_stress_pergraph(
                     model, params, batch,
                     rngs={"dropout": dropout_rng}, deterministic=False,
+                    inner_ckpt=inner_ckpt,
                 )
             else:
                 outs = matpes_energy_forces_stress(
                     model, params, batch, regress_stress=False,
                     rngs={"dropout": dropout_rng}, deterministic=False,
+                    inner_ckpt=inner_ckpt,
                 )
             return matpes_loss(outs, batch, w_energy, w_force, w_stress)
 

@@ -31,6 +31,8 @@ import sys
 import types
 
 import numpy as np
+
+from equivarianttransformermpnn4quantumcomputations_tpu.utils import flags
 import pytest
 
 torch = pytest.importorskip("torch")
@@ -356,7 +358,7 @@ def _mock_so3_grid():
 
 @pytest.mark.parametrize("grid_mlp", [False, True])
 def test_golden_ffn(refmods, monkeypatch, grid_mlp):
-    monkeypatch.setenv("ETQ_S2_FUSED", "0")
+    monkeypatch.setattr(flags, "_DEFAULT", flags.patched(s2_fused="off"))
     torch.manual_seed(4)
     so3_grid, grid = _mock_so3_grid()
     ref = refmods.tb.FeedForwardNetwork(
@@ -389,7 +391,7 @@ def test_golden_ffn(refmods, monkeypatch, grid_mlp):
 def test_golden_trans_block_v2(refmods, monkeypatch):
     """Full reference TransBlockV2 (norm -> HTR -> GATA attention ->
     residual -> norm -> FFN -> residual), run verbatim, vs TransBlock."""
-    monkeypatch.setenv("ETQ_S2_FUSED", "0")
+    monkeypatch.setattr(flags, "_DEFAULT", flags.patched(s2_fused="off"))
     rng, src, dst, edge_vec, atn, x, edge_dist, t_ij, rl_ij = _graph(7)
     mapping = refmods.so3.CoefficientMappingModule([LMAX], [MMAX])
     rotation, wb = _inject_rotation(refmods, edge_vec)

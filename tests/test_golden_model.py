@@ -37,6 +37,8 @@ import sys
 import types
 
 import numpy as np
+
+from equivarianttransformermpnn4quantumcomputations_tpu.utils import flags
 import pytest
 
 torch = pytest.importorskip("torch")
@@ -322,7 +324,7 @@ def _matpes_sample(seed=0, n=6):
 
 
 def test_golden_full_model_matpes_gatav2(refmodels, monkeypatch):
-    monkeypatch.setenv("ETQ_S2_FUSED", "0")
+    monkeypatch.setattr(flags, "_DEFAULT", flags.patched(s2_fused="off"))
     _patch_geometry(monkeypatch, refmodels, refmodels.matpes)
     torch.manual_seed(11)
     ref = refmodels.matpes.EquiformerV2_MatPES(
@@ -374,7 +376,7 @@ def test_golden_full_model_matpes_gatav2(refmodels, monkeypatch):
 
 
 def test_golden_full_model_qm9(refmodels, monkeypatch):
-    monkeypatch.setenv("ETQ_S2_FUSED", "0")
+    monkeypatch.setattr(flags, "_DEFAULT", flags.patched(s2_fused="off"))
     _patch_geometry(monkeypatch, refmodels, refmodels.qm9)
     torch.manual_seed(13)
     kw = dict(TINY)

@@ -25,6 +25,8 @@ import pathlib
 import sys
 
 import numpy as np
+
+from equivarianttransformermpnn4quantumcomputations_tpu.utils import flags
 import pytest
 
 torch = pytest.importorskip("torch")
@@ -177,7 +179,7 @@ class _MockSO3Grid:
 
 @pytest.mark.parametrize("lmax,mmax", [(2, 2), (4, 2)])
 def test_s2_activation(ref_act, monkeypatch, lmax, mmax):
-    monkeypatch.setenv("ETQ_S2_FUSED", "0")  # XLA path (CPU numerics)
+    monkeypatch.setattr(flags, "_DEFAULT", flags.patched(s2_fused="off"))  # XLA path (CPU numerics)
     rng = np.random.default_rng(3)
     C = 8
     grid = s2grid(lmax, mmax, resolution=18)
@@ -192,7 +194,7 @@ def test_s2_activation(ref_act, monkeypatch, lmax, mmax):
 
 @pytest.mark.parametrize("lmax,mmax", [(4, 2)])
 def test_separable_s2_activation(ref_act, monkeypatch, lmax, mmax):
-    monkeypatch.setenv("ETQ_S2_FUSED", "0")
+    monkeypatch.setattr(flags, "_DEFAULT", flags.patched(s2_fused="off"))
     rng = np.random.default_rng(4)
     C = 8
     grid = s2grid(lmax, mmax, resolution=18)

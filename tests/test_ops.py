@@ -168,19 +168,13 @@ def test_s2_activation_chunked_matches():
     g = s2grid(LMAX, LMAX)
     x = jnp.asarray(rng.normal(size=(50, (LMAX + 1) ** 2, 4)).astype(np.float32))
 
-    import os
+    from equivarianttransformermpnn4quantumcomputations_tpu.utils import flags
 
     y_ref = np.asarray(A.s2_activation(x, g))
-    try:
-        # knobs are read from the env at call time (nn/activations.py)
-        os.environ["ETQ_S2_CHUNK_THRESHOLD_MB"] = "0"  # force chunking
-        os.environ["ETQ_S2_CHUNK_MB"] = "1"
+    with flags.override(s2_chunk_threshold_mb=0, s2_chunk_mb=1):  # force chunking
         y_chunk = np.asarray(A.s2_activation(x, g))
         gfun = jax.grad(lambda t: jnp.sum(A.s2_activation(t, g) ** 2))
         g_chunk = np.asarray(gfun(x))
-    finally:
-        os.environ.pop("ETQ_S2_CHUNK_THRESHOLD_MB", None)
-        os.environ.pop("ETQ_S2_CHUNK_MB", None)
     g_ref = np.asarray(
         jax.grad(lambda t: jnp.sum(A.s2_activation(t, g) ** 2))(x)
     )

@@ -113,11 +113,9 @@ def test_flagship_model_scan_layers_fused_forces():
         matpes_energy_forces_stress,
     )
 
-    import os
+    from equivarianttransformermpnn4quantumcomputations_tpu.utils import flags
 
-    old = os.environ.get("ETQ_S2_FUSED")
-    os.environ["ETQ_S2_FUSED"] = "force"
-    try:
+    with flags.override(s2_fused="force"):
         rng = np.random.default_rng(7)
         n = 5
         s = GraphSample(
@@ -167,8 +165,3 @@ def test_flagship_model_scan_layers_fused_forces():
         fa = np.asarray(out["forces"])
         fb = np.asarray(out_u["forces"])
         assert np.abs(fa - fb).max() < 2e-3, np.abs(fa - fb).max()
-    finally:
-        if old is None:
-            os.environ.pop("ETQ_S2_FUSED", None)
-        else:
-            os.environ["ETQ_S2_FUSED"] = old

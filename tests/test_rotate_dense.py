@@ -7,6 +7,8 @@ variant, and under lax.scan (the flagship scan_layers regression).
 """
 
 import numpy as np
+
+from equivarianttransformermpnn4quantumcomputations_tpu.utils import flags
 import jax
 import jax.numpy as jnp
 import pytest
@@ -185,9 +187,7 @@ def test_under_scan_with_grad(data):
 
 
 def test_model_forward_matches_factored():
-    """Whole-model parity: ETQ_WIGNER=dense == factored on a tiny MatPES."""
-    import os
-
+    """Whole-model parity: wigner_rep dense == factored on a tiny MatPES."""
     from equivarianttransformermpnn4quantumcomputations_tpu.models.matpes import (
         EquiformerV2MatPES,
     )
@@ -205,17 +205,10 @@ def test_model_forward_matches_factored():
         uniform_blocks=True,
     )
     params = model.init(jax.random.PRNGKey(0), batch)
-    prev = os.environ.get("ETQ_WIGNER")
-    try:
-        os.environ["ETQ_WIGNER"] = "factored"
+    with flags.override(wigner="factored"):
         e_ref = model.apply(params, batch)["energy"]
-        os.environ["ETQ_WIGNER"] = "dense"
+    with flags.override(wigner="dense"):
         e_dense = model.apply(params, batch)["energy"]
-    finally:
-        if prev is None:
-            os.environ.pop("ETQ_WIGNER", None)
-        else:
-            os.environ["ETQ_WIGNER"] = prev
     np.testing.assert_allclose(
         np.asarray(e_dense), np.asarray(e_ref), rtol=1e-4, atol=1e-4
     )

@@ -1,6 +1,8 @@
 """Variant tests: MoE FFN, dual-stream, phi-every-layer, ablation flags."""
 
 import numpy as np
+
+from equivarianttransformermpnn4quantumcomputations_tpu.utils import flags
 import jax
 import jax.numpy as jnp
 import pytest
@@ -87,8 +89,8 @@ def test_m0_only_matches_full_path(monkeypatch):
     model = EquiformerV2MatPES(**TINY)
     params = model.init(jax.random.PRNGKey(0), b)
     out_m0 = model.apply(params, b)
-    monkeypatch.setenv("ETQ_M0_ONLY", "0")
-    out_full = model.apply(params, b)
+    with flags.override(m0_only=False):
+        out_full = model.apply(params, b)
     np.testing.assert_allclose(
         np.asarray(out_m0["energy_total"]),
         np.asarray(out_full["energy_total"]),
