@@ -119,3 +119,38 @@ config_synthetic_convergence = {
     "scan_layers": True,
     "mixed_precision": False,
 }
+
+
+# fixture-scale real-format training (VERDICT r4 #5): MatPES-format entries
+# with consistent LJ energy/forces (scripts/make_fixture_train_data.py)
+config_fixture = {
+    **config,
+    "data_path": "tests/fixtures/train/matpes_train.json.gz",
+    "split_path": "tests/fixtures/train/matpes_split_train.json.gz",
+    "cache_dir": None,
+    "batch_size": 8,
+    "num_layers": 2,
+    "sphere_channels": 32,
+    "attn_hidden_channels": 32,
+    "num_heads": 4,
+    "attn_alpha_channels": 8,
+    "attn_value_channels": 8,
+    "ffn_hidden_channels": 64,
+    "lmax": 2,
+    "mmax": 1,
+    "grid_resolution": None,
+    "edge_channels": 32,
+    "num_rbf": 64,
+    "cutoff": 5.0,
+    "max_neighbors": 12,
+    "alpha_drop": 0.0,
+    "drop_path_rate": 0.0,
+    "epochs": 80,
+    "warmup_epochs": 4,
+    "eval_every": 5,
+    "lr": 1e-3,
+    "weight_decay": 0.0,
+    "run_dir": "runs/matpes_fixture",
+    "scan_layers": True,
+    "mixed_precision": False,
+}

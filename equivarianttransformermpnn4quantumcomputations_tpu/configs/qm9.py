@@ -57,3 +57,34 @@ config_debug = {
 
 config_conservative = {**config, "lr": 1e-4, "weight_decay": 1e-2}
 config_aggressive = {**config, "lr": 1.5e-3, "weight_decay": 1e-3}
+
+
+# fixture-scale real-format training (VERDICT r4 #5): a genuine ASE-sqlite
+# db with learnable geometry-derived labels
+# (scripts/make_fixture_train_data.py); small model, CPU/TPU-fast
+config_fixture = {
+    **config,
+    "db_path": "tests/fixtures/train/qm9_train.db",
+    "stats_json": "tests/fixtures/train/qm9_train_stats.json",
+    "batch_size": 8,
+    "val_split": 0.15,
+    "test_split": 0.15,
+    "num_layers": 2,
+    "sphere_channels": 32,
+    "attn_hidden_channels": 32,
+    "num_heads": 4,
+    "attn_alpha_channels": 8,
+    "attn_value_channels": 8,
+    "ffn_hidden_channels": 64,
+    "lmax": 2,
+    "mmax": 1,
+    "edge_channels": 32,
+    "num_rbf": 64,
+    "alpha_drop": 0.0,
+    "drop_path_rate": 0.0,
+    "epochs": 60,
+    "warmup_epochs": 3,
+    "lr": 1e-3,
+    "weight_decay": 0.0,
+    "run_dir": "runs/qm9_fixture",
+}

@@ -126,7 +126,10 @@ class _AseDbLite:
 
         if not os.path.exists(path):
             raise FileNotFoundError(path)
-        self.con = sqlite3.connect(path)
+        # read-only access from the PaddedLoader's prefetch thread is safe
+        # (no writes ever happen through this handle); sqlite's same-thread
+        # guard would otherwise reject the background batch builder
+        self.con = sqlite3.connect(path, check_same_thread=False)
 
     def count(self) -> int:
         return self.con.execute("SELECT COUNT(*) FROM systems").fetchone()[0]

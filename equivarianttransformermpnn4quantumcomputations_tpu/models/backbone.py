@@ -184,7 +184,17 @@ class EquiformerV2Backbone(nn.Module):
         edge_mask,        # [E] bool
         cell,             # [B, 3, 3] f32
         deterministic: bool = True,
+        stack_capture: bool = False,
+        stack_override=None,
     ) -> BackboneOutput:
+        """``stack_capture=True``: stop before the transformer blocks and
+        return ``(carry, broadcast)`` — the exact lax.scan protocol of the
+        stacked block body (requires ``scan_layers=True`` param structure).
+        ``stack_override=(x, t_ij, a_ij)``: skip the blocks and continue the
+        head path from an externally computed carry.  Together these let an
+        external executor (parallel/pipeline.py GPipe schedule) run the
+        block stack across devices while this module keeps sole ownership
+        of the pre/post math."""
         lay_full = get_layout(self.lmax, self.lmax)
         lay_red = get_layout(self.lmax, self.mmax)
         grid_red = s2grid(self.lmax, self.mmax, self.grid_resolution)
@@ -358,7 +368,17 @@ class EquiformerV2Backbone(nn.Module):
                 return out + (prev_a,)
             return (out, prev_t, prev_a)
 
-        if self.scan_layers:
+        if stack_capture:
+            broadcast = (
+                atomic_numbers, edge_scalars_c, edge_src, edge_dst,
+                edge_mask, wigner, graph_idx, rl_ij, phi_c,
+            )
+            return (x, t_ij, a_ij), broadcast
+
+        if stack_override is not None:
+            x, t_ij, a_ij = stack_override
+            x = x.astype(cdt)
+        elif self.scan_layers:
             # scan_layers + fused S2 kernel is safe: the kernel pads its node
             # axis OUTSIDE the custom_vjp boundary (ops/pallas/s2act.py:_call
             # — a pad literal inside a custom_vjp primal corrupts residual

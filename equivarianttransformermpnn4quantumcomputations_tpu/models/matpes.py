@@ -88,8 +88,12 @@ class EquiformerV2MatPES(nn.Module):
     compute_dtype: str = "float32"
 
     @nn.compact
-    def __call__(self, batch: dict, pos=None, deterministic: bool = True):
-        """Returns dict(energy [B,1] per-atom, energy_total [B], node_energy [N])."""
+    def __call__(self, batch: dict, pos=None, deterministic: bool = True,
+                 stack_capture: bool = False, stack_override=None):
+        """Returns dict(energy [B,1] per-atom, energy_total [B], node_energy [N]).
+
+        ``stack_capture``/``stack_override`` thread through to the backbone
+        (external block-stack executors — parallel/pipeline.py)."""
         if pos is None:
             pos = batch["pos"]
         out = EquiformerV2Backbone(
@@ -143,7 +147,11 @@ class EquiformerV2MatPES(nn.Module):
             batch["edge_mask"],
             batch.get("strained_cell", batch["cell"]),
             deterministic=deterministic,
+            stack_capture=stack_capture,
+            stack_override=stack_override,
         )
+        if stack_capture:
+            return out                        # (carry, broadcast)
 
         x = out.x
         if self.global_attn is not None:

@@ -29,7 +29,13 @@ import numpy as np
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
-__all__ = ["make_pipeline_mesh", "pipeline_apply"]
+__all__ = [
+    "make_pipeline_mesh",
+    "pipeline_apply",
+    "make_dp_pipe_mesh",
+    "pipeline_state_shardings",
+    "make_pipeline_matpes_step",
+]
 
 AXIS_PIPE = "pipe"
 
@@ -52,6 +58,7 @@ def pipeline_apply(
     micro_states,
     mesh: Mesh,
     axis: str = AXIS_PIPE,
+    data_axis: str | None = None,
 ):
     """Run ``micro_states`` through all L layers on a P-stage pipeline.
 
@@ -63,14 +70,25 @@ def pipeline_apply(
     micro_states
         pytree with leading micro-batch axis M >= 1 (all leaves float or
         int; every micro-batch flows through every stage).
+    data_axis
+        optional second mesh axis: the micro-batch axis is sharded over it
+        (DP x PP — each data row runs an independent pipeline over its own
+        micro-batches with the same stage-sharded params).
 
-    Returns the output states, [M, ...], replicated.
+    Returns the output states, [M, ...], replicated over ``axis`` (sharded
+    over ``data_axis`` if given).
     """
     P_size = mesh.shape[axis]
     L = jax.tree_util.tree_leaves(stacked_params)[0].shape[0]
-    M = jax.tree_util.tree_leaves(micro_states)[0].shape[0]
+    M_global = jax.tree_util.tree_leaves(micro_states)[0].shape[0]
+    M = M_global // (mesh.shape[data_axis] if data_axis else 1)
     if L % P_size:
         raise ValueError(f"num_layers {L} not divisible by pipe={P_size}")
+    if data_axis and M_global % mesh.shape[data_axis]:
+        raise ValueError(
+            f"micro-batches {M_global} not divisible by "
+            f"data={mesh.shape[data_axis]}"
+        )
 
     def local_apply(params_local, state):
         def scan_body(st, lp):
@@ -125,8 +143,202 @@ def pipeline_apply(
     fn = shard_map(
         spmd,
         mesh=mesh,
-        in_specs=(P(axis), P()),
-        out_specs=P(),
+        in_specs=(P(axis), P(data_axis)),
+        out_specs=P(data_axis),
         check_vma=False,
     )
     return fn(stacked_params, micro_states)
+
+
+# ── trainer-path pipeline step (VERDICT r4 #7) ─────────────────────────────
+
+
+def make_dp_pipe_mesh(data: int, pipe: int, devices=None) -> Mesh:
+    """2-D ("data", "pipe") mesh for DP x PP training."""
+    if devices is None:
+        devices = jax.devices()
+    n = data * pipe
+    if len(devices) < n:
+        raise ValueError(f"need {n} devices, have {len(devices)}")
+    arr = np.asarray(devices[:n]).reshape(data, pipe)
+    return Mesh(arr, axis_names=("data", AXIS_PIPE))
+
+
+def pipeline_state_shardings(mesh: Mesh, state_shape):
+    """NamedShardings for a TrainState under the DP x PP step: the scanned
+    block stack (every leaf under a ``blocks`` key — the nn.scan leading
+    layer axis) shards its layer axis over ``pipe``; everything else
+    replicates."""
+    from jax.sharding import NamedSharding
+
+    def spec_for(path, leaf):
+        keys = [getattr(p, "key", getattr(p, "name", None)) for p in path]
+        if "blocks" in keys and np.ndim(leaf) >= 1:
+            return NamedSharding(mesh, P(AXIS_PIPE))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(spec_for, state_shape)
+
+
+def make_pipeline_matpes_step(
+    model,
+    tx,
+    mesh: Mesh,
+    state_shape,
+    stacked_batch: dict,
+    w_energy: float = 1.0,
+    w_force: float = 1.0,
+    ema_decay: float = 0.999,
+    mixed_precision: bool = False,
+) -> Callable:
+    """DP x PP MatPES force-training step: the model's scanned block stack
+    (``scan_layers=True`` param layout) runs on the GPipe schedule above,
+    stage-sharded over ``pipe``; micro-batches shard over ``data``.  The
+    pre-stack (embeddings, Wigner, edge streams) and post-stack (final
+    norm, energy head) math stays inside the flax model via its
+    ``stack_capture`` / ``stack_override`` hooks (models/backbone.py) — no
+    duplicated forward logic; forces are the usual -dE/dpos autograd
+    through the whole pipeline (ppermute transposes to the reverse
+    schedule).
+
+    ``stacked_batch``: representative micro-batch dict stacked on a leading
+    [n_micro] axis (parallel/data_parallel.py:stack_microbatches);
+    n_micro % data == 0 and num_layers % pipe == 0.
+
+    The reference has no pipeline parallelism (DDP only,
+    models/train_oc20v2_parallel.py) — TPU-native new surface.
+    """
+    import flax.linen as nn
+    import optax
+    from jax.sharding import NamedSharding
+
+    from ..models.backbone import build_block_kwargs
+    from ..nn.block import BlockScanBody
+    from ..train.trainer import (
+        TrainState,
+        cast_params,
+        ema_update,
+        matpes_loss,
+    )
+
+    if not model.scan_layers:
+        raise ValueError("pipeline step requires scan_layers=True")
+    pipe = mesh.shape[AXIS_PIPE]
+    if model.num_layers % pipe:
+        raise ValueError(
+            f"num_layers {model.num_layers} not divisible by pipe={pipe}"
+        )
+    n_micro = next(iter(stacked_batch.values())).shape[0]
+    micro0 = {k: v[0] for k, v in stacked_batch.items()}
+    B = int(micro0["cell"].shape[0])
+    N = int(micro0["pos"].shape[0])
+    E = int(micro0["edge_src"].shape[0])
+
+    blocks = None
+    if model.uniform_blocks or model.fixed_degree:
+        blocks = (B, N // B, E // B)
+        if model.fixed_degree:
+            blocks = blocks + (E // N,)
+    edge_channels_list = [model.num_rbf, model.edge_channels,
+                          model.edge_channels]
+    if model.share_atom_edge_embedding and model.use_atom_edge_embedding:
+        edge_channels_list[0] += 2 * model.edge_channels
+        block_atom_edge = False
+    else:
+        block_atom_edge = model.use_atom_edge_embedding
+    kw = build_block_kwargs(
+        model,
+        edge_channels_list=edge_channels_list,
+        block_atom_edge=block_atom_edge,
+        blocks=blocks,
+        num_graphs=B,
+        deterministic=False,
+    )
+    body_cls = (
+        nn.remat(BlockScanBody, prevent_cse=False)
+        if model.remat
+        else BlockScanBody
+    )
+    body = body_cls(block_kwargs=tuple(sorted(kw.items())))
+
+    def body_fn(layer_params, state):
+        carry, broadcast, key = state
+        key, sub = jax.random.split(key)
+        c2, _ = body.apply(
+            {"params": layer_params}, carry, broadcast,
+            rngs={"dropout": sub},
+        )
+        return (c2, broadcast, key)
+
+    def loss_fn(params, stacked, rng):
+        if mixed_precision:
+            params = cast_params(params, jnp.bfloat16)
+        p_stack = params["params"]["backbone"]["blocks"]
+        keys = jax.random.split(rng, 3 * n_micro).reshape(3, n_micro, -1)
+
+        def energy_fn(pos_stacked):
+            def pre_one(b, pos, key):
+                return model.apply(
+                    params, b, pos=pos, deterministic=False,
+                    stack_capture=True, rngs={"dropout": key},
+                )
+
+            carry, broadcast = jax.vmap(pre_one)(
+                stacked, pos_stacked, keys[0]
+            )
+            states = (carry, broadcast, keys[1])
+            out_states = pipeline_apply(
+                body_fn, p_stack, states, mesh,
+                axis=AXIS_PIPE, data_axis="data",
+            )
+            carry_out = out_states[0]
+
+            def post_one(b, pos, c, key):
+                return model.apply(
+                    params, b, pos=pos, deterministic=False,
+                    stack_override=c, rngs={"dropout": key},
+                )
+
+            outs = jax.vmap(post_one)(
+                stacked, pos_stacked, carry_out, keys[2]
+            )
+            return jnp.sum(outs["energy_total"]), outs
+
+        dpos, outs = jax.grad(energy_fn, has_aux=True)(stacked["pos"])
+        forces = -dpos * stacked["node_mask"][..., None].astype(dpos.dtype)
+        outs = dict(outs)
+        outs["forces"] = forces
+        losses, metrics = jax.vmap(
+            lambda o, b: matpes_loss(o, b, w_energy, w_force, 0.0)
+        )(outs, stacked)
+        return jnp.mean(losses), jax.tree_util.tree_map(jnp.mean, metrics)
+
+    def step(state, stacked, rng):
+        (loss, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, stacked, rng)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            step=state.step + 1,
+            params=params,
+            opt_state=opt_state,
+            ema_params=ema_update(state.ema_params, params, ema_decay),
+        )
+        metrics = dict(metrics)
+        metrics["loss"] = loss
+        return new_state, metrics
+
+    def batch_sharding(v):
+        ndim = np.ndim(v)
+        return NamedSharding(mesh, P(*(["data"] + [None] * (ndim - 1))))
+
+    b_sh = {k: batch_sharding(v) for k, v in stacked_batch.items()}
+    rep = NamedSharding(mesh, P())
+    st_sh = pipeline_state_shardings(mesh, state_shape)
+    return jax.jit(
+        step,
+        in_shardings=(st_sh, b_sh, rep),
+        out_shardings=(st_sh, None),
+        donate_argnums=(0,),
+    )

@@ -81,11 +81,13 @@ def main(argv=None):
              "(reference train_oc20v2_parallel.py:34-54,334-349,513-535)",
     )
     parser.add_argument(
-        "--mesh", default=None, metavar="data=N[,model=M][,sp]",
+        "--mesh", default=None, metavar="data=N[,model=M|pipe=P][,sp]",
         help="train with a sharded step over a device mesh: 'data=4' is "
              "4-way DP (N microbatches/step), 'data=4,model=2' adds "
-             "Megatron-style TP (+EP for MoE); ',sp' shards the edge axis. "
-             "Omitted = single-device step.",
+             "Megatron-style TP (+EP for MoE); ',sp' shards the edge axis; "
+             "'data=2,pipe=2' instead runs DP x GPipe pipeline parallelism "
+             "over the scanned layer stack (requires scan_layers=True, "
+             "num_layers %% pipe == 0).  Omitted = single-device step.",
     )
     args = parser.parse_args(argv)
 
@@ -97,13 +99,15 @@ def main(argv=None):
 
     mesh_spec = None
     if args.mesh:
-        mesh_spec = {"data": 1, "model": 1, "sp": False}
+        mesh_spec = {"data": 1, "model": 1, "pipe": 1, "sp": False}
         for part in args.mesh.split(","):
             if part.strip() == "sp":
                 mesh_spec["sp"] = True
             else:
                 k, v = part.split("=")
                 mesh_spec[k.strip()] = int(v)
+        if mesh_spec["pipe"] > 1 and mesh_spec["model"] > 1:
+            parser.error("--mesh: pipe and model axes cannot be combined")
 
     from ..configs import matpes as mp_cfg
 
@@ -122,6 +126,7 @@ def main(argv=None):
             "run_dir": "runs/matpes_synthetic",
         },
         "synthetic-convergence": mp_cfg.config_synthetic_convergence,
+        "fixture": mp_cfg.config_fixture,
     }[args.config].copy()
     if args.epochs is not None:
         cfg["epochs"] = args.epochs
@@ -257,7 +262,48 @@ def main(argv=None):
     # ── step function: single-device | sharded mesh (--mesh) ──────────────
     n_micro = 1
     batch_sh = None
-    if mesh_spec is not None:
+    if mesh_spec is not None and mesh_spec["pipe"] > 1:
+        # DP x GPipe pipeline over the scanned layer stack
+        from jax.sharding import NamedSharding, PartitionSpec as _P
+
+        from ..parallel.data_parallel import stack_microbatches
+        from ..parallel.pipeline import (
+            make_dp_pipe_mesh,
+            make_pipeline_matpes_step,
+        )
+
+        if not model.scan_layers:
+            raise SystemExit("--mesh pipe= requires scan_layers=True")
+        if cfg.get("regress_stress"):
+            raise SystemExit("--mesh pipe= does not support stress yet")
+        mesh = make_dp_pipe_mesh(mesh_spec["data"], mesh_spec["pipe"])
+        n_micro = mesh_spec["data"]
+        first_np = {k: np.asarray(v) for k, v in first.asdict().items()}
+        stacked_example = stack_microbatches([first_np] * n_micro)
+        state_shape = jax.eval_shape(lambda s: s, state)
+        step_fn = make_pipeline_matpes_step(
+            model, tx, mesh, state_shape,
+            {k: jnp.asarray(v) for k, v in stacked_example.items()},
+            cfg["w_energy"], cfg["w_force"], ema_decay=cfg["ema_decay"],
+            mixed_precision=mixed_precision,
+        )
+        from ..parallel.pipeline import pipeline_state_shardings
+
+        state = jax.device_put(
+            state, pipeline_state_shardings(mesh, state_shape)
+        )
+        batch_sh = {
+            k: NamedSharding(
+                mesh, _P(*(["data"] + [None] * (np.ndim(v) - 1)))
+            )
+            for k, v in stacked_example.items()
+        }
+        if primary:
+            print(
+                f"pipeline step: data={mesh_spec['data']} "
+                f"pipe={mesh_spec['pipe']} ({n_micro} microbatches/step)"
+            )
+    elif mesh_spec is not None:
         from ..parallel.data_parallel import stack_microbatches
         from ..parallel.sharding import (
             batch_shardings,

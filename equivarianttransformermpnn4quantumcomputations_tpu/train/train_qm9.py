@@ -25,6 +25,11 @@ def evaluate(model, params, loader, denorm=None):
     def fwd(params, batch):
         return model.apply(params, batch, deterministic=True)
 
+    if len(loader) == 0:
+        raise ValueError(
+            "evaluate: empty loader (fewer samples than batch_size after "
+            "the split — shrink batch_size or raise the split fraction)"
+        )
     abs_err_sum = None
     count = 0
     for pb in loader:
@@ -54,6 +59,7 @@ def main(argv=None):
         "debug": qm9_cfg.config_debug,
         "conservative": qm9_cfg.config_conservative,
         "aggressive": qm9_cfg.config_aggressive,
+        "fixture": qm9_cfg.config_fixture,
     }[args.config].copy()
     if args.epochs is not None:
         cfg["epochs"] = args.epochs
