@@ -59,7 +59,8 @@ def gate_activation(gating_scalars, x, lmax: int, mmax: int, num_channels: int):
 from ..utils import flags as _flags
 
 
-def _use_fused(n_rows: int | None, kern: _flags.KernelFlags) -> bool:
+def _use_fused(n_rows: int | None, n_channels: int,
+               kern: _flags.KernelFlags) -> bool:
     # fused Pallas kernel (ops/pallas/s2act.py): grid tensors never touch
     # HBM.  s2_fused: 'auto' = on TPU; 'off' = never; 'force' = even
     # off-TPU (interpret mode — tests of the kernel AD chain on CPU).
@@ -72,6 +73,12 @@ def _use_fused(n_rows: int | None, kern: _flags.KernelFlags) -> bool:
     if kern.s2_fused == "off":
         return False
     if n_rows is not None and n_rows < kern.s2_fused_min_rows:
+        return False
+    # Mosaic rejects the kernel's K-major [K, T*C] reshape unless the
+    # channel (lane) axis is 128-aligned ("infer-vector-layout: unsupported
+    # shape cast" at C=32, found on the fixture-scale models) — small-C
+    # sites route to the XLA path, which XLA fuses well at those widths.
+    if n_channels % 128 != 0:
         return False
     from ..utils.backend import on_tpu
 
@@ -88,7 +95,7 @@ def s2_activation(x, grid: S2Grid, kern: _flags.KernelFlags | None = None):
     pts = grid.res_beta * grid.res_alpha
     full_bytes = N * pts * C * 4
 
-    if _use_fused(N, kern):
+    if _use_fused(N, C, kern):
         from ..ops.pallas.s2act import s2act_fused
 
         return s2act_fused(x, grid)
