@@ -103,10 +103,20 @@ class HTR(nn.Module):
             rl = rl_ij[:, sl][..., None]              # [E, d, 1]
             qi = q[:, sl, :]
             kj = Dense(hidden, use_bias=False, name=f"W_vk_{l}")(X_j[:, sl, :])
-            # vector rejection of the edge-direction component
-            qi = qi - jnp.sum(qi * rl, axis=1, keepdims=True) * rl
-            kj = kj - jnp.sum(kj * (-rl), axis=1, keepdims=True) * (-rl)
-            w_ij = w_ij + jnp.sum(qi * kj, axis=1) / d
+            # vector rejection of the edge-direction component on both
+            # sides.  rej(v, r) = rej(v, -r) = (I - r r^T) v is one
+            # symmetric matrix P with P^2 = I - (2 - s) r r^T, s = |r|^2, so
+            #   < P qi, P kj > = < qi, kj > - (2 - s) < qi, rl > < kj, rl >
+            # — algebraically identical to the reference's materialized
+            # rejections (activation.py:220-224) but with three coefficient
+            # reductions and ZERO [E, d, H] intermediates (the rejected
+            # tensors were ~40% of this block's HBM traffic and its AD
+            # residuals)
+            qk = jnp.sum(qi * kj, axis=1)             # [E, H]
+            qr = jnp.sum(qi * rl, axis=1)             # [E, H]
+            kr = jnp.sum(kj * rl, axis=1)             # [E, H]
+            s = jnp.sum(rl * rl, axis=1)              # [E, 1]
+            w_ij = w_ij + (qk - (2.0 - s) * qr * kr) / d
 
         gw = jax.nn.silu(
             Dense(self.edge_channels, kernel_init=_xavier_uniform(), name="gamma_w")(w_ij)

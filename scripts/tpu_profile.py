@@ -55,6 +55,7 @@ def main():
         gata=True, alpha_drop=0.0, drop_path_rate=0.0,
         scan_layers=args.scan, compute_dtype="bfloat16",
         uniform_blocks=True, fixed_degree=args.fixed_degree,
+        remat=False,   # match bench.py's production step (remat off)
     )
     rng = np.random.default_rng(0)
     raw = _synthetic_batch(
