@@ -32,6 +32,25 @@ from .partition import partitioned, role_names
 __all__ = ["SO3Linear", "SO2Conv", "SO2Linear"]
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _rad_chunk_map(lay: IrrepsLayout):
+    """l-primary row -> radial chunk index (the radial MLP emits one
+    Cin-wide chunk per (l, m >= 0) pair, m-primary order; the +m and -m
+    rows share their pair's chunk)."""
+    m_abs = np.abs(np.asarray(lay.m_complex))
+    ls = np.asarray(lay.l_harmonic)
+    base = np.cumsum([0] + [int(lay.m_size[m]) for m in range(lay.mmax)])
+    chunk = np.empty(len(ls), dtype=np.int32)
+    for k in range(len(ls)):
+        m = int(m_abs[k])
+        chunk[k] = base[m] + (int(ls[k]) - m)
+    return chunk
+
+
+
 class SO3Linear(nn.Module):
     """Per-degree linear map over [N, K, C] features; bias only on l = 0.
 
@@ -145,6 +164,54 @@ class SO2Conv(nn.Module):
                 ],
                 axis=0,
             ).astype(dt)
+
+        # ── fused-kernel path: one pallas call covers every m-block ──────
+        # (ops/pallas/so2conv.py: reads l-primary rows directly, writes
+        # l-primary rows directly — the to_m/from_m permutes, the output
+        # concat and the K-major layout copies of the XLA lowering all
+        # disappear).  Default OFF: the isolated site runs ~3x faster than
+        # the XLA lowering (conv1_full fwd 3.03 -> ~1 ms), but COMPOSED
+        # into the training step it measured a net regression on the
+        # flagship (194.4 -> 247.9 ms device; the mutual-adjoint AD chain
+        # multiplies custom calls and the dW einsum re-concatenates input
+        # rows) and neutral on QM9 — the same composed-vs-isolated verdict
+        # as round 3's rotate+conv fusion (PERF.md).  conv_fused='on' /
+        # 'force' (interpret) enables for experiments.
+        from ..utils import flags as _flags
+        from ..utils.backend import on_tpu
+
+        cf = _flags.current().conv_fused
+        if (
+            not self.m0_only
+            and (cf == "force" or (cf == "on" and on_tpu()))
+        ):
+            from ..ops.pallas.so2conv import so2conv_fused, so2conv_supported
+
+            if so2conv_supported(lay, Cin, Cout, self.extra_m0):
+                xs = x
+                if rad is not None:
+                    # one fused elementwise pass (chunk c applies to both
+                    # the +m and -m rows of its (l, m) pair)
+                    chunk = _rad_chunk_map(lay)
+                    rr = rad.reshape(E, int(lay.m_size.sum()), Cin)
+                    xs = x * rr[:, chunk, :].astype(x.dtype)
+                wb = [w0.astype(x.dtype)]
+                for wr, wi in wms:
+                    wb.append(wbig_of(wr, wi, x.dtype))
+                y, extra = so2conv_fused(
+                    xs, tuple(wb), lay.lmax, lay.mmax, Cout, self.extra_m0
+                )
+                b = b0.astype(y.dtype)
+                if self.extra_m0:
+                    extra = extra + b[: self.extra_m0]
+                m0_rows = np.nonzero(np.asarray(lay.m_complex) == 0)[0]
+                bias_rows = (
+                    jnp.zeros((y.shape[1], Cout), y.dtype)
+                    .at[jnp.asarray(m0_rows)]
+                    .set(b[self.extra_m0 :].reshape(L0, Cout))
+                )
+                y = y + bias_rows[None]
+                return y, (extra if self.extra_m0 else None)
 
         xm = x if self.m0_only else x[:, lay.to_m_perm, :]  # m-primary
 

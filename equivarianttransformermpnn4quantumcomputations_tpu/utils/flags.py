@@ -56,6 +56,11 @@ class KernelFlags:
     # m0-only rotate/conv shortcut for GATA value paths (exactly equal
     # outputs; tests/test_variants.py). PERF.md "m0-only rotate/conv".
     m0_only: bool = True
+    # Fused full SO(2)-conv kernel (ops/pallas/so2conv.py): 'auto' = OFF
+    # (measured a composed-step regression despite a ~3x isolated-site win
+    # — PERF.md round 5); 'on' enables on TPU, 'force' even off-TPU
+    # (interpret mode, tests).
+    conv_fused: str = "auto"
     # jax.checkpoint around the inner energy fn of the force autograd
     # (trade ~40% step time for HBM headroom; PERF.md round-4 final).
     inner_ckpt: bool = False
@@ -79,10 +84,13 @@ def flags_from_env() -> KernelFlags:
     fused_rotate = {"": "auto", "1": "on", "0": "off", "false": "off",
                     "off": "off"}.get(fr, fr)
     wig = g("ETQ_WIGNER", "")
+    cf = g("ETQ_CONV_FUSED", "")
+    conv_fused = {"": "auto", "1": "auto", "0": "off"}.get(cf, cf)
     return KernelFlags(
         wigner=wig if wig else "auto",
         fused_rotate=fused_rotate,
         s2_fused=s2_fused,
+        conv_fused=conv_fused,
         s2_fused_min_rows=int(g("ETQ_S2_FUSED_MIN_ROWS", 0)),
         s2_ckpt=_bool(g("ETQ_S2_CKPT"), True),
         s2_chunk_mb=int(g("ETQ_S2_CHUNK_MB", 256)),

@@ -154,17 +154,20 @@ def main():
             for (m, k, n) in dims
         ]
 
-        def ideal():
+        def ideal(ms):
+            # takes the matrices as ARGUMENTS — a closed-over constant
+            # expression would be constant-folded to a scalar at compile
+            # time and profile zero device ops
             return sum(
-                jnp.sum((a @ b).astype(jnp.float32) ** 2) for a, b in mats
+                jnp.sum((a @ b).astype(jnp.float32) ** 2) for a, b in ms
             )
 
         ideal_j = jax.jit(ideal)
-        ideal_j().block_until_ready()
+        ideal_j(mats).block_until_ready()
 
         def run_ideal():
             for _ in range(args.reps):
-                r = ideal_j()
+                r = ideal_j(mats)
             r.block_until_ready()
 
         t_ideal = (
