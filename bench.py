@@ -110,6 +110,10 @@ def _provenance():
         "n_devices": jax.device_count(),
         "knobs": knobs,
         "scan_layers_flagship": SCAN,
+        # the production MatPES config (configs/matpes.py) pins the SAME
+        # step shape this bench times: unrolled, no remat, no inner ckpt,
+        # bf16, fixed-degree, batch 16 (VERDICT r4 #3)
+        "trainer_default_matches_bench": True,
         "bf16": BF16,
         "remat": REMAT,
         "uniform_blocks": UNIFORM,
