@@ -374,8 +374,9 @@ def bench_qm9():
     )
 
     B, atoms = int(os.environ.get("ETQ_BENCH_QM9_GRAPHS", 48)), 18
+    qm9_scan = os.environ.get("ETQ_BENCH_QM9_SCAN", "1") == "1"
     cfg = dict(
-        alpha_drop=0.0, drop_path_rate=0.0, scan_layers=True,
+        alpha_drop=0.0, drop_path_rate=0.0, scan_layers=qm9_scan,
         compute_dtype="bfloat16" if BF16 else "float32",
         uniform_blocks=True, fixed_degree=FIXED_DEGREE,
     )
