@@ -273,7 +273,13 @@ def _device_ms(step, state, batch, key):
 def _result(n_graphs, times, pipelined, flops, flops_err, dev_ms, dev_err):
     wall = np.asarray(times)
     # primary throughput = the free-running (pipelined) pass — how a real
-    # training loop runs; per-step blocked stats expose tunnel variance
+    # training loop runs; per-step blocked stats expose tunnel variance.
+    # Integrity guard: the tunneled block_until_ready can return EARLY
+    # (PERF.md measurement caveat — one r5 probe "measured" 10k g/s), so a
+    # pipelined wall below the profiled device time is physically
+    # impossible and must be discarded in favor of the blocked median.
+    if dev_ms is not None and pipelined * 1e3 < 0.8 * dev_ms:
+        pipelined = float(np.median(wall))
     med = float(min(np.median(wall), pipelined))
     out = {
         "graphs_per_sec": round(n_graphs / med, 2),
